@@ -1,0 +1,591 @@
+"""Cubed-sphere face topology and halo-exchange index maps.
+
+The reference delegates cube-topology halo exchange to FMS ``mpp_domains``
+(mosaic contacts defined in tools/fv_mp_nlm_mod.F90 `domain_decomp`, corner
+fills in `fill_corners_*`).  Here the same semantics are derived *numerically*
+from the grid geometry and compiled into static gather-index maps:
+
+* each face side's neighbor (face, side, orientation) is found by matching
+  boundary corner coordinates of the generated 6-face gnomonic grid;
+* an affine index-plane map (signed permutation + offset) per (face, side)
+  produces exact source indices for any staggering (A/B/C/D grid);
+* wind components transform through the map's linear part (u <-> v swaps and
+  sign flips across rotated cube edges), reproducing FMS's DGRID_NE/CGRID_NE
+  vector update semantics;
+* the local corner-region fill patterns (`fill_corners_[abcd]grid`,
+  fv_mp_nlm_mod.F90:966-1471, and tp_core `copy_corners`) are encoded as
+  per-face local gather maps.
+
+All maps are plain numpy integer arrays computed once per resolution; runtime
+halo exchange is a handful of XLA gathers (see parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import gnomonic
+
+W, E, S, N = 0, 1, 2, 3
+
+
+def _side_points(corners_f: np.ndarray, side: int) -> np.ndarray:
+    """Ordered boundary corner points (N+1, 3) of one face; along-coord ascending."""
+    if side == W:
+        return corners_f[:, 0, :]
+    if side == E:
+        return corners_f[:, -1, :]
+    if side == S:
+        return corners_f[0, :, :]
+    return corners_f[-1, :, :]
+
+
+class CubeTopology:
+    """Connectivity + halo index maps for an npx cubed sphere with halo ng."""
+
+    def __init__(self, npx: int, ng: int = 3):
+        self.npx = npx
+        self.ng = ng
+        self.n = npx - 1  # cells per side
+
+        corners = gnomonic.cube_corners_xyz(npx)  # (6, npx, npx, 3)
+        self.corners_int = corners
+
+        # ---- derive (face, side) -> (nbr_face, nbr_side, orient) ----
+        self.neighbor = {}
+        sides = {}
+        for f in range(6):
+            for s in (W, E, S, N):
+                sides[(f, s)] = _side_points(corners[f], s)
+        for f in range(6):
+            for s in (W, E, S, N):
+                mine = sides[(f, s)]
+                found = False
+                for f2 in range(6):
+                    if f2 == f:
+                        continue
+                    for s2 in (W, E, S, N):
+                        other = sides[(f2, s2)]
+                        if np.allclose(mine[0], other[0], atol=1e-9) and np.allclose(
+                            mine[-1], other[-1], atol=1e-9
+                        ):
+                            o = +1
+                        elif np.allclose(mine[0], other[-1], atol=1e-9) and np.allclose(
+                            mine[-1], other[0], atol=1e-9
+                        ):
+                            o = -1
+                        else:
+                            continue
+                        # verify full line match
+                        ref = other if o == 1 else other[::-1]
+                        assert np.allclose(mine, ref, atol=1e-9), (f, s, f2, s2)
+                        self.neighbor[(f, s)] = (f2, s2, o)
+                        found = True
+                if not found:
+                    raise RuntimeError(f"no neighbor for face {f} side {s}")
+
+        # affine plane maps: (A 2x2, b 2) with [x2, y2] = A @ [x, y] + b
+        self.plane_map = {
+            key: self._make_plane_map(*key) for key in self.neighbor
+        }
+
+        # runtime gather maps, built lazily per field kind
+        self._cache = {}
+
+    # ------------------------------------------------------------------
+    def _make_plane_map(self, f: int, s: int):
+        n = self.n
+        f2, s2, o = self.neighbor[(f, s)]
+
+        def to_dt(x, y):
+            if s == W:
+                return -x, y
+            if s == E:
+                return x - n, y
+            if s == S:
+                return -y, x
+            return y - n, x
+
+        def from_dt(d, t):
+            t2 = t if o == 1 else n - t
+            if s2 == W:
+                return d, t2
+            if s2 == E:
+                return n - d, t2
+            if s2 == S:
+                return t2, d
+            return t2, n - d
+
+        def M(x, y):
+            d, t = to_dt(np.asarray(x, float), np.asarray(y, float))
+            return from_dt(d, t)
+
+        # linear part
+        x0, y0 = M(0.0, 0.0)
+        x1, y1 = M(1.0, 0.0)
+        x2, y2 = M(0.0, 1.0)
+        A = np.array([[x1 - x0, x2 - x0], [y1 - y0, y2 - y0]])
+        b = np.array([x0, y0])
+        assert np.allclose(np.abs(A).sum(axis=0), 1.0) and np.allclose(
+            np.abs(A).sum(axis=1), 1.0
+        )
+        return M, A, b, f2
+
+    # ------------------------------------------------------------------
+    # Continuous-coordinate <-> padded-index conversion per stagger.
+    # Stagger offsets: position of array element (jrow, icol) is
+    #   x = icol - ng + offx,  y = jrow - ng + offy
+    # center: (0.5, 0.5); corner/B: (0, 0); u-point: (0.5, 0); v-point: (0, 0.5)
+    # ------------------------------------------------------------------
+    def dims(self, offx: float, offy: float):
+        n, ng = self.n, self.ng
+        idim = n + 2 * ng if offx == 0.5 else n + 1 + 2 * ng
+        jdim = n + 2 * ng if offy == 0.5 else n + 1 + 2 * ng
+        return jdim, idim
+
+    # ------------------------------------------------------------------
+    def _halo_maps_scalar(self, offx: float, offy: float, depth: int | None = None):
+        """Cross-face halo gather map for a scalar field at given stagger.
+
+        Returns int32 map (6, jdim, idim) of flat source indices into the
+        (6*jdim*idim) flattened field; identity outside the halo strips.
+        """
+        n, ng = self.n, self.ng
+        depth = depth or ng
+        jdim, idim = self.dims(offx, offy)
+        m = np.arange(6 * jdim * idim, dtype=np.int64).reshape(6, jdim, idim)
+
+        jj, ii = np.meshgrid(np.arange(jdim), np.arange(idim), indexing="ij")
+        x = ii - ng + offx
+        y = jj - ng + offy
+
+        for f in range(6):
+            for s in (W, E, S, N):
+                M, A, b, f2 = self.plane_map[(f, s)]
+                if s == W:
+                    in_strip = (x < 0) & (x >= -depth) & (y >= 0) & (y <= n)
+                elif s == E:
+                    in_strip = (x > n) & (x <= n + depth) & (y >= 0) & (y <= n)
+                elif s == S:
+                    in_strip = (y < 0) & (y >= -depth) & (x >= 0) & (x <= n)
+                else:
+                    in_strip = (y > n) & (y <= n + depth) & (x >= 0) & (x <= n)
+                if not in_strip.any():
+                    continue
+                xs = x[in_strip]
+                ys = y[in_strip]
+                x2, y2 = M(xs, ys)
+                i2 = np.rint(x2 - offx + ng).astype(np.int64)
+                j2 = np.rint(y2 - offy + ng).astype(np.int64)
+                assert (i2 >= 0).all() and (i2 < idim).all()
+                assert (j2 >= 0).all() and (j2 < jdim).all()
+                m[f][in_strip] = (f2 * jdim + j2) * idim + i2
+        return m.astype(np.int32)
+
+    def halo_map_center(self):
+        return self._cached("center", lambda: self._halo_maps_scalar(0.5, 0.5))
+
+    def halo_map_corner(self):
+        return self._cached("corner", lambda: self._halo_maps_scalar(0.0, 0.0))
+
+    # ------------------------------------------------------------------
+    def _halo_maps_vector(self, xoff, yoff):
+        """Cross-face halo maps for a staggered vector pair.
+
+        The pair is (xcomp, ycomp): xcomp holds the x-direction component at
+        stagger `xoff`, ycomp the y-direction component at stagger `yoff`.
+        D grid: xcomp=u at (0.5, 0), ycomp=v at (0, 0.5).
+        C grid: xcomp=uc at (0, 0.5), ycomp=vc at (0.5, 0).
+        A grid: both at (0.5, 0.5).
+
+        Returns dict with, for each target component c in ('x', 'y'):
+          idx_same  (6,J,I): flat src index into same-component array
+          idx_other (6,J,I): flat src index into other-component array
+          from_other(6,J,I): bool, take from other component
+          sign      (6,J,I): float +-1
+        Identity (sign=1, from_other=False) outside halo strips.
+        """
+        n, ng = self.n, self.ng
+        out = {}
+        offs = {"x": xoff, "y": yoff}
+        for comp in ("x", "y"):
+            offx, offy = offs[comp]
+            oxo, oyo = offs["y" if comp == "x" else "x"]
+            jdim, idim = self.dims(offx, offy)
+            jdim_o, idim_o = self.dims(oxo, oyo)
+            idx_same = np.arange(6 * jdim * idim, dtype=np.int64).reshape(6, jdim, idim)
+            idx_other = np.zeros((6, jdim, idim), dtype=np.int64)
+            from_other = np.zeros((6, jdim, idim), dtype=bool)
+            sign = np.ones((6, jdim, idim))
+
+            jj, ii = np.meshgrid(np.arange(jdim), np.arange(idim), indexing="ij")
+            x = ii - ng + offx
+            y = jj - ng + offy
+            cdir = np.array([1.0, 0.0]) if comp == "x" else np.array([0.0, 1.0])
+
+            for f in range(6):
+                for s in (W, E, S, N):
+                    M, A, b, f2 = self.plane_map[(f, s)]
+                    if s == W:
+                        in_strip = (x < 0) & (y >= 0) & (y <= n)
+                    elif s == E:
+                        in_strip = (x > n) & (y >= 0) & (y <= n)
+                    elif s == S:
+                        in_strip = (y < 0) & (x >= 0) & (x <= n)
+                    else:
+                        in_strip = (y > n) & (x >= 0) & (x <= n)
+                    if not in_strip.any():
+                        continue
+                    xs, ys = x[in_strip], y[in_strip]
+                    x2, y2 = M(xs, ys)
+                    v = A @ cdir  # image of the component direction
+                    if abs(v[0]) > 0.5:  # maps to neighbor x-component
+                        sgn = v[0]
+                        tgt_other = comp == "y"
+                        toffx, toffy = offs["x"]
+                    else:
+                        sgn = v[1]
+                        tgt_other = comp == "x"
+                        toffx, toffy = offs["y"]
+                    i2 = np.rint(x2 - toffx + ng).astype(np.int64)
+                    j2 = np.rint(y2 - toffy + ng).astype(np.int64)
+                    if tgt_other:
+                        assert (i2 >= 0).all() and (i2 < idim_o).all(), (f, s, comp)
+                        assert (j2 >= 0).all() and (j2 < jdim_o).all(), (f, s, comp)
+                        idx_other[f][in_strip] = (f2 * jdim_o + j2) * idim_o + i2
+                        from_other[f][in_strip] = True
+                    else:
+                        assert (i2 >= 0).all() and (i2 < idim).all(), (f, s, comp)
+                        assert (j2 >= 0).all() and (j2 < jdim).all(), (f, s, comp)
+                        idx_same[f][in_strip] = (f2 * jdim + j2) * idim + i2
+                    sign[f][in_strip] = sgn
+            out[comp] = dict(
+                idx_same=idx_same.astype(np.int32),
+                idx_other=np.where(from_other, idx_other, 0).astype(np.int32),
+                from_other=from_other,
+                sign=sign,
+            )
+        return out
+
+    def halo_map_dgrid(self):
+        return self._cached(
+            "dgrid", lambda: self._halo_maps_vector((0.5, 0.0), (0.0, 0.5))
+        )
+
+    def halo_map_cgrid(self):
+        return self._cached(
+            "cgrid", lambda: self._halo_maps_vector((0.0, 0.5), (0.5, 0.0))
+        )
+
+    def halo_map_agrid_vector(self):
+        return self._cached(
+            "agridv", lambda: self._halo_maps_vector((0.5, 0.5), (0.5, 0.5))
+        )
+
+    # ------------------------------------------------------------------
+    def edge_fix_maps_dgrid(self):
+        """Shared-edge ownership maps (mpp_get_boundary DGRID_NE semantics).
+
+        After a D-grid update each face's *north* u row (y=n line) and *east*
+        v column (x=n line) are replaced by the values the adjacent face
+        computed for the same physical points (reference:
+        fv3jedi_lm_dynamics_mod.F90:782-795 and dyn_core_nlm.F90:935-949).
+
+        Returns dict(u=..., v=...) with per-point (idx_same, idx_other,
+        from_other, sign) covering only those edge lines (identity elsewhere).
+        """
+
+        def build():
+            n, ng = self.n, self.ng
+            offs = {"x": (0.5, 0.0), "y": (0.0, 0.5)}
+            out = {}
+            for comp, side in (("x", N), ("y", E)):
+                offx, offy = offs[comp]
+                jdim, idim = self.dims(offx, offy)
+                oxo, oyo = offs["y" if comp == "x" else "x"]
+                jdim_o, idim_o = self.dims(oxo, oyo)
+                idx_same = np.arange(6 * jdim * idim, dtype=np.int64).reshape(
+                    6, jdim, idim
+                )
+                idx_other = np.zeros((6, jdim, idim), dtype=np.int64)
+                from_other = np.zeros((6, jdim, idim), dtype=bool)
+                sign = np.ones((6, jdim, idim))
+                jj, ii = np.meshgrid(np.arange(jdim), np.arange(idim), indexing="ij")
+                x = ii - ng + offx
+                y = jj - ng + offy
+                cdir = np.array([1.0, 0.0]) if comp == "x" else np.array([0.0, 1.0])
+                if comp == "x":  # u north row: y == n, x in (0, n)
+                    on_edge = (np.abs(y - n) < 1e-9) & (x > 0) & (x < n)
+                else:  # v east column
+                    on_edge = (np.abs(x - n) < 1e-9) & (y > 0) & (y < n)
+                for f in range(6):
+                    M, A, b, f2 = self.plane_map[(f, side)]
+                    xs, ys = x[on_edge], y[on_edge]
+                    x2, y2 = M(xs, ys)
+                    v = A @ cdir
+                    if abs(v[0]) > 0.5:
+                        sgn, tgt_other = v[0], comp == "y"
+                        toffx, toffy = offs["x"]
+                    else:
+                        sgn, tgt_other = v[1], comp == "x"
+                        toffx, toffy = offs["y"]
+                    i2 = np.rint(x2 - toffx + ng).astype(np.int64)
+                    j2 = np.rint(y2 - toffy + ng).astype(np.int64)
+                    if tgt_other:
+                        idx_other[f][on_edge] = (f2 * jdim_o + j2) * idim_o + i2
+                        from_other[f][on_edge] = True
+                    else:
+                        idx_same[f][on_edge] = (f2 * jdim + j2) * idim + i2
+                    sign[f][on_edge] = sgn
+                out["u" if comp == "x" else "v"] = dict(
+                    idx_same=idx_same.astype(np.int32),
+                    idx_other=np.where(from_other, idx_other, 0).astype(np.int32),
+                    from_other=from_other,
+                    sign=sign,
+                )
+            return out
+
+        return self._cached("edgefix_d", build)
+
+    # ------------------------------------------------------------------
+    # Local (per-face) corner-region fills; reference fv_mp_nlm_mod.F90
+    # fill_corners_* and tp_core copy_corners.  Implemented as (jdim, idim)
+    # gather maps over a single face (identical for all faces).
+    # ------------------------------------------------------------------
+    def _local_identity(self, offx, offy):
+        jdim, idim = self.dims(offx, offy)
+        return np.arange(jdim * idim, dtype=np.int64).reshape(jdim, idim)
+
+    def _f2p(self, fort_i):
+        """Fortran index -> padded python index (works for center & staggered)."""
+        # Fortran center i=1 -> python ng; staggered (line) i=1 -> python ng
+        return fort_i - 1 + self.ng
+
+    def copy_corners_map(self, dir_: int):
+        """tp_core copy_corners (center field), dir 1=XDir, 2=YDir."""
+
+        def build():
+            npx = self.npx
+            npy = npx
+            ng = self.ng
+            m = self._local_identity(0.5, 0.5)
+            jdim, idim = m.shape
+            p = self._f2p
+
+            def setsrc(ti, tj, si, sj):
+                m[p(tj), p(ti)] = p(sj) * idim + p(si)
+
+            if dir_ == 1:
+                for j in range(1 - ng, 1):
+                    for i in range(1 - ng, 1):
+                        setsrc(i, j, j, 1 - i)                      # sw
+                for j in range(1 - ng, 1):
+                    for i in range(npx, npx + ng):
+                        setsrc(i, j, npy - j, i - npx + 1)          # se
+                for j in range(npy, npy + ng):
+                    for i in range(npx, npx + ng):
+                        setsrc(i, j, j, 2 * npx - 1 - i)            # ne
+                for j in range(npy, npy + ng):
+                    for i in range(1 - ng, 1):
+                        setsrc(i, j, npy - j, i - 1 + npx)          # nw
+            else:
+                for j in range(1 - ng, 1):
+                    for i in range(1 - ng, 1):
+                        setsrc(i, j, 1 - j, i)                      # sw
+                for j in range(1 - ng, 1):
+                    for i in range(npx, npx + ng):
+                        setsrc(i, j, npy + j - 1, npx - i)          # se
+                for j in range(npy, npy + ng):
+                    for i in range(npx, npx + ng):
+                        setsrc(i, j, 2 * npy - 1 - j, i)            # ne
+                for j in range(npy, npy + ng):
+                    for i in range(1 - ng, 1):
+                        setsrc(i, j, j + 1 - npx, npy - i)          # nw
+            return m.astype(np.int32)
+
+        return self._cached(f"copy_corners_{dir_}", build)
+
+    def fill_corners_bgrid_map(self, dir_: int):
+        """fill_corners BGRID (fv_mp_nlm_mod.F90:1046+), dir 1=XDir 2=YDir."""
+
+        def build():
+            npx = self.npx
+            npy = npx
+            ng = self.ng
+            m = self._local_identity(0.0, 0.0)
+            jdim, idim = m.shape
+            p = self._f2p
+
+            def setsrc(ti, tj, si, sj):
+                m[p(tj), p(ti)] = p(sj) * idim + p(si)
+
+            for j in range(1, ng + 1):
+                for i in range(1, ng + 1):
+                    if dir_ == 1:
+                        setsrc(1 - i, 1 - j, 1 - j, i + 1)          # sw
+                        setsrc(1 - i, npy + j, 1 - j, npy - i)      # nw
+                        setsrc(npx + i, 1 - j, npx + j, i + 1)      # se
+                        setsrc(npx + i, npy + j, npx + j, npy - i)  # ne
+                    else:
+                        setsrc(1 - j, 1 - i, i + 1, 1 - j)          # sw
+                        setsrc(1 - j, npy + i, i + 1, npy + j)      # nw
+                        setsrc(npx + j, 1 - i, npx - i, 1 - j)      # se
+                        setsrc(npx + j, npy + i, npx - i, npy + j)  # ne
+            return m.astype(np.int32)
+
+        return self._cached(f"fill_b_{dir_}", build)
+
+    def fill_corners_agrid_scalar_map(self, dir_: int):
+        """fill_corners AGRID scalar (fv_mp_nlm_mod.F90:1085-1115)."""
+
+        def build():
+            npx = self.npx
+            npy = npx
+            ng = self.ng
+            m = self._local_identity(0.5, 0.5)
+            jdim, idim = m.shape
+            p = self._f2p
+
+            def setsrc(ti, tj, si, sj):
+                m[p(tj), p(ti)] = p(sj) * idim + p(si)
+
+            for j in range(1, ng + 1):
+                for i in range(1, ng + 1):
+                    if dir_ == 1:
+                        setsrc(1 - i, 1 - j, 1 - j, i)                       # sw
+                        setsrc(1 - i, npy - 1 + j, 1 - j, npy - 1 - i + 1)   # nw
+                        setsrc(npx - 1 + i, 1 - j, npx - 1 + j, i)           # se
+                        setsrc(npx - 1 + i, npy - 1 + j, npx - 1 + j, npy - 1 - i + 1)  # ne
+                    else:
+                        setsrc(1 - j, 1 - i, i, 1 - j)                       # sw
+                        setsrc(1 - j, npy - 1 + i, i, npy - 1 + j)           # nw
+                        setsrc(npx - 1 + j, 1 - i, npx - 1 - i + 1, 1 - j)   # se
+                        setsrc(npx - 1 + j, npy - 1 + i, npx - 1 - i + 1, npy - 1 + j)  # ne
+            return m.astype(np.int32)
+
+        return self._cached(f"fill_a_{dir_}", build)
+
+    def _fill_corners_pair(self, kind: str, sign: float):
+        """Vector-pair corner fills: kind in {'dgrid','cgrid','agrid'}.
+
+        Returns (x_map, y_map) where each map is a dict:
+          idx_other (jdim,idim), from_other (bool), sign (float), idx_same
+        x = x-located component array, y = y-located (per FMS argument order:
+        DGRID x=u(center-x, line-y), y=v; CGRID x=uc(line-x, center-y), y=vc).
+        """
+        npx = self.npx
+        npy = npx
+        ng = self.ng
+        p = self._f2p
+
+        if kind == "dgrid":
+            xo, yo = (0.5, 0.0), (0.0, 0.5)
+        elif kind == "cgrid":
+            xo, yo = (0.0, 0.5), (0.5, 0.0)
+        else:
+            xo, yo = (0.5, 0.5), (0.5, 0.5)
+
+        jdx, idx_ = self.dims(*xo)
+        jdy, idy = self.dims(*yo)
+
+        def mk(jdim, idim):
+            return dict(
+                idx_same=np.arange(jdim * idim, dtype=np.int64).reshape(jdim, idim),
+                idx_other=np.zeros((jdim, idim), dtype=np.int64),
+                from_other=np.zeros((jdim, idim), dtype=bool),
+                sign=np.ones((jdim, idim)),
+            )
+
+        mx, my = mk(jdx, idx_), mk(jdy, idy)
+
+        def set_from_other(m, ti, tj, si, sj, sgn, src_idim):
+            m["idx_other"][p(tj), p(ti)] = p(sj) * src_idim + p(si)
+            m["from_other"][p(tj), p(ti)] = True
+            m["sign"][p(tj), p(ti)] = sgn
+
+        for j in range(1, ng + 1):
+            for i in range(1, ng + 1):
+                if kind == "dgrid":
+                    # x(1-i,1-j)=sign*y(1-j,i); x(1-i,npy+j)=y(1-j,npy-i)
+                    # x(npx-1+i,1-j)=y(npx+j,i); x(npx-1+i,npy+j)=sign*y(npx+j,npy-i)
+                    set_from_other(mx, 1 - i, 1 - j, 1 - j, i, sign, idy)
+                    set_from_other(mx, 1 - i, npy + j, 1 - j, npy - i, 1.0, idy)
+                    set_from_other(mx, npx - 1 + i, 1 - j, npx + j, i, 1.0, idy)
+                    set_from_other(mx, npx - 1 + i, npy + j, npx + j, npy - i, sign, idy)
+                    # y(1-i,1-j)=sign*x(j,1-i); y(1-i,npy-1+j)=x(j,npy+i)
+                    # y(npx+i,1-j)=x(npx-j,1-i); y(npx+i,npy-1+j)=sign*x(npx-j,npy+i)
+                    set_from_other(my, 1 - i, 1 - j, j, 1 - i, sign, idx_)
+                    set_from_other(my, 1 - i, npy - 1 + j, j, npy + i, 1.0, idx_)
+                    set_from_other(my, npx + i, 1 - j, npx - j, 1 - i, 1.0, idx_)
+                    set_from_other(my, npx + i, npy - 1 + j, npx - j, npy + i, sign, idx_)
+                elif kind == "cgrid":
+                    # x(1-i,1-j)=y(j,1-i); x(1-i,npy-1+j)=sign*y(j,npy+i)
+                    # x(npx+i,1-j)=sign*y(npx-j,1-i); x(npx+i,npy-1+j)=y(npx-j,npy+i)
+                    set_from_other(mx, 1 - i, 1 - j, j, 1 - i, 1.0, idy)
+                    set_from_other(mx, 1 - i, npy - 1 + j, j, npy + i, sign, idy)
+                    set_from_other(mx, npx + i, 1 - j, npx - j, 1 - i, sign, idy)
+                    set_from_other(mx, npx + i, npy - 1 + j, npx - j, npy + i, 1.0, idy)
+                    # y(1-i,1-j)=x(1-j,i); y(1-i,npy+j)=sign*x(1-j,npy-i)
+                    # y(npx-1+i,1-j)=sign*x(npx+j,i); y(npx-1+i,npy+j)=x(npx+j,npy-i)
+                    set_from_other(my, 1 - i, 1 - j, 1 - j, i, 1.0, idx_)
+                    set_from_other(my, 1 - i, npy + j, 1 - j, npy - i, sign, idx_)
+                    set_from_other(my, npx - 1 + i, 1 - j, npx + j, i, sign, idx_)
+                    set_from_other(my, npx - 1 + i, npy + j, npx + j, npy - i, 1.0, idx_)
+                else:  # agrid pair
+                    set_from_other(mx, 1 - i, 1 - j, 1 - j, i, sign, idy)
+                    set_from_other(mx, 1 - i, npy - 1 + j, 1 - j, npy - i, 1.0, idy)
+                    set_from_other(mx, npx - 1 + i, 1 - j, npx - 1 + j, i, 1.0, idy)
+                    set_from_other(mx, npx - 1 + i, npy - 1 + j, npx - 1 + j, npy - i, sign, idy)
+                    set_from_other(my, 1 - j, 1 - i, i, 1 - j, sign, idx_)
+                    set_from_other(my, 1 - j, npy - 1 + i, i, npy - 1 + j, 1.0, idx_)
+                    set_from_other(my, npx - 1 + j, 1 - i, npx - i, 1 - j, 1.0, idx_)
+                    set_from_other(my, npx - 1 + j, npy - 1 + i, npx - i, npy - 1 + j, sign, idx_)
+
+        for m in (mx, my):
+            m["idx_same"] = m["idx_same"].astype(np.int32)
+            m["idx_other"] = m["idx_other"].astype(np.int32)
+        return mx, my
+
+    def fill_corners_dgrid_maps(self, vector: bool = True):
+        sgn = -1.0 if vector else 1.0
+        return self._cached(
+            f"fillcd_{sgn}", lambda: self._fill_corners_pair("dgrid", sgn)
+        )
+
+    def fill_corners_cgrid_maps(self, vector: bool = True):
+        sgn = -1.0 if vector else 1.0
+        return self._cached(
+            f"fillcc_{sgn}", lambda: self._fill_corners_pair("cgrid", sgn)
+        )
+
+    def fill_corners_agrid_maps(self, vector: bool = True):
+        sgn = -1.0 if vector else 1.0
+        return self._cached(
+            f"fillca_{sgn}", lambda: self._fill_corners_pair("agrid", sgn)
+        )
+
+    # ------------------------------------------------------------------
+    def corner_region_mask(self, offx: float, offy: float) -> np.ndarray:
+        """Bool (jdim, idim): True in the 4 non-existent corner regions."""
+        n, ng = self.n, self.ng
+        jdim, idim = self.dims(offx, offy)
+        jj, ii = np.meshgrid(np.arange(jdim), np.arange(idim), indexing="ij")
+        x = ii - ng + offx
+        y = jj - ng + offy
+        return ((x < 0) | (x > n)) & ((y < 0) | (y > n))
+
+    # ------------------------------------------------------------------
+    def _cached(self, key, builder):
+        if key not in self._cache:
+            self._cache[key] = builder()
+        return self._cache[key]
+
+
+_topo_cache: dict = {}
+
+
+def get_topology(npx: int, ng: int = 3) -> CubeTopology:
+    key = (npx, ng)
+    if key not in _topo_cache:
+        _topo_cache[key] = CubeTopology(npx, ng)
+    return _topo_cache[key]

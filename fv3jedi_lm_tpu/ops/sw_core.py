@@ -1,0 +1,400 @@
+"""Lin-Rood C/D-grid shallow-water operators.
+
+Re-derivation of model/sw_core_nlm.F90 in whole-array JAX form:
+  d2a2c_vect  (:2746)  D -> A -> C wind interpolation with cube-edge fixes
+  c_sw        (:77)    C-grid half step
+  d_sw        (:492)   D-grid full step
+  divergence_corner (:1661), del6_vt_flux (:1547)
+  xtp_u (:1970), ytp_v (:2312)  B-grid advection of wind components
+
+Indexing: Fortran index f (1-based, compute domain 1..n) maps to padded
+python index f-1+NG for every stagger.  All faces are whole (is=1, ie=n),
+so the reference's face-edge branches become static row/column updates.
+Leading dims (npz, 6) are broadcast.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import NG
+
+R3 = 1.0 / 3.0
+NEAR_ZERO = 1.0e-9         # KE limiter threshold (sw_core_nlm.F90:37)
+A1 = 0.5625
+A2 = -0.0625
+C1 = -2.0 / 14.0
+C2 = 11.0 / 14.0
+C3 = 5.0 / 14.0
+S11 = 11.0 / 14.0
+S14 = 4.0 / 7.0
+S15 = 3.0 / 14.0
+P1 = 7.0 / 12.0
+P2 = -1.0 / 12.0
+
+
+def F2P(i: int) -> int:
+    return i - 1 + NG
+
+
+def SL(lo: int, hi: int) -> slice:
+    """Fortran inclusive index range -> python slice (any stagger)."""
+    return slice(F2P(lo), F2P(hi) + 1)
+
+
+# ----------------------------------------------------------------------
+# d2a2c_vect
+# ----------------------------------------------------------------------
+
+def _edge_interpolate4(ua4, dxa4):
+    """sw_core_nlm.F90 edge_interpolate4: ua4/dxa4 stacked (..., 4)."""
+    t1 = dxa4[..., 0] + dxa4[..., 1]
+    t2 = dxa4[..., 2] + dxa4[..., 3]
+    return 0.5 * (
+        ((t1 + dxa4[..., 1]) * ua4[..., 1] - dxa4[..., 1] * ua4[..., 0]) / t1
+        + ((t2 + dxa4[..., 2]) * ua4[..., 2] - dxa4[..., 2] * ua4[..., 3]) / t2
+    )
+
+
+def d2a2c_vect(u, v, grid, npx):
+    """Returns (ua, va, uc, vc, ut, vt).  dord4 assumed True (c_sw call)."""
+    n = npx - 1
+    npy = npx
+    jc = n + 2 * NG
+    dtype = u.dtype
+    sin_sg = grid["sin_sg"]
+    cosa_u = grid["cosa_u"]
+    cosa_v = grid["cosa_v"]
+    cosa_s = grid["cosa_s"]
+    rsin_u = grid["rsin_u"]
+    rsin_v = grid["rsin_v"]
+    rsin2 = grid["rsin2"]
+    dxa = grid["dxa"]
+    dya = grid["dya"]
+
+    npt = 4
+
+    # ---- A-grid midpoint winds (utmp/vtmp) ----
+    # 4th order in the interior, 2nd order within npt cells of a face edge
+    # (sw_core_nlm.F90:2846-2898)
+    utmp4 = jnp.zeros(u.shape[:-2] + (jc, jc), dtype)
+    # utmp(i,j) = a2*(u(i,j-1)+u(i,j+2)) + a1*(u(i,j)+u(i,j+1)); cell row jj
+    # uses u-lines jj-1 .. jj+2
+    utmp4 = utmp4.at[..., 1:jc - 1, :].set(
+        A2 * (u[..., 0:jc - 2, :] + u[..., 3:jc + 1, :])
+        + A1 * (u[..., 1:jc - 1, :] + u[..., 2:jc, :])
+    )
+    utmp2 = 0.5 * (u[..., 0:jc, :] + u[..., 1:jc + 1, :])
+    vtmp4 = jnp.zeros(v.shape[:-2] + (jc, jc), dtype)
+    vtmp4 = vtmp4.at[..., :, 1:jc - 1].set(
+        A2 * (v[..., :, 0:jc - 2] + v[..., :, 3:jc + 1])
+        + A1 * (v[..., :, 1:jc - 1] + v[..., :, 2:jc])
+    )
+    vtmp2 = 0.5 * (v[..., :, 0:jc] + v[..., :, 1:jc + 1])
+
+    idx = jnp.arange(jc) - NG + 1  # Fortran cell index along an axis
+    in4 = (idx >= npt) & (idx <= npx - npt)   # 4th-order band
+    mask4 = in4[:, None] & in4[None, :]        # [j, i]
+    utmp = jnp.where(mask4, utmp4, utmp2)
+    vtmp = jnp.where(mask4, vtmp4, vtmp2)
+
+    # ---- contravariant cell-center winds ----
+    ua = (utmp - vtmp * cosa_s) * rsin2
+    va = (vtmp - utmp * cosa_s) * rsin2
+
+    # ---- utmp corner fixes, X-dir (sw_core_nlm.F90:2906-2926) ----
+    p = F2P
+    je = n
+    for i in (-2, -1, 0):
+        utmp = utmp.at[..., p(0), p(i)].set(-vtmp[..., p(1 - i), p(0)])          # sw
+        utmp = utmp.at[..., p(npy), p(i)].set(vtmp[..., p(je + i), p(0)])        # nw
+    for i in (0, 1, 2):
+        utmp = utmp.at[..., p(0), p(npx + i)].set(vtmp[..., p(i + 1), p(npx)])   # se
+        utmp = utmp.at[..., p(npy), p(npx + i)].set(-vtmp[..., p(je - i), p(npx)])  # ne
+
+    # ---- uc interior 4th order (sw_core_nlm.F90:2936-2944) ----
+    jb = jc + 1
+    uc = jnp.zeros(u.shape[:-2] + (jc, jb), dtype)
+    # uc(i,j) = a2*(utmp(i-2,j)+utmp(i+1,j)) + a1*(utmp(i-1,j)+utmp(i,j))
+    uc = uc.at[..., :, 2:jc - 1].set(
+        A2 * (utmp[..., :, 0:jc - 3] + utmp[..., :, 3:jc])
+        + A1 * (utmp[..., :, 1:jc - 2] + utmp[..., :, 2:jc - 1])
+    )
+    ut = (uc - v * cosa_u) * rsin_u
+
+    # ---- ua corner fixes, X-dir (sw_core_nlm.F90:2946-2962) ----
+    ua_f = ua
+    ua_f = ua_f.at[..., p(0), p(-1)].set(-va[..., p(2), p(0)])
+    ua_f = ua_f.at[..., p(0), p(0)].set(-va[..., p(1), p(0)])
+    ua_f = ua_f.at[..., p(0), p(npx)].set(va[..., p(1), p(npx)])
+    ua_f = ua_f.at[..., p(0), p(npx + 1)].set(va[..., p(2), p(npx)])
+    ua_f = ua_f.at[..., p(npy), p(npx)].set(-va[..., p(npy - 1), p(npx)])
+    ua_f = ua_f.at[..., p(npy), p(npx + 1)].set(-va[..., p(npy - 2), p(npx)])
+    ua_f = ua_f.at[..., p(npy), p(-1)].set(va[..., p(npy - 2), p(0)])
+    ua_f = ua_f.at[..., p(npy), p(0)].set(va[..., p(npy - 1), p(0)])
+    ua = ua_f
+
+    # ---- west/east edge columns of uc/ut (sw_core_nlm.F90:2964-3000) ----
+    def x_edge(uc, ut, edge_i):
+        """edge_i: Fortran C-grid edge index (1 west, npx east)."""
+        ei = p(edge_i)
+        # one-sided cubic on the two flanking interfaces
+        if edge_i == 1:
+            uc = uc.at[..., :, ei - 1].set(
+                C1 * utmp[..., :, p(-2)] + C2 * utmp[..., :, p(-1)] + C3 * utmp[..., :, p(0)]
+            )
+            uc = uc.at[..., :, ei + 1].set(
+                C1 * utmp[..., :, p(3)] + C2 * utmp[..., :, p(2)] + C3 * utmp[..., :, p(1)]
+            )
+            ua4 = jnp.stack([ua[..., :, p(-1)], ua[..., :, p(0)], ua[..., :, p(1)], ua[..., :, p(2)]], -1)
+            dx4 = jnp.stack([dxa[..., :, p(-1)], dxa[..., :, p(0)], dxa[..., :, p(1)], dxa[..., :, p(2)]], -1)
+            sg3 = sin_sg[2][..., :, p(0)]
+            sg1 = sin_sg[0][..., :, p(1)]
+        else:
+            uc = uc.at[..., :, ei - 1].set(
+                C1 * utmp[..., :, p(npx - 3)] + C2 * utmp[..., :, p(npx - 2)] + C3 * utmp[..., :, p(npx - 1)]
+            )
+            uc = uc.at[..., :, ei + 1].set(
+                C3 * utmp[..., :, p(npx)] + C2 * utmp[..., :, p(npx + 1)] + C1 * utmp[..., :, p(npx + 2)]
+            )
+            ua4 = jnp.stack([ua[..., :, p(npx - 2)], ua[..., :, p(npx - 1)], ua[..., :, p(npx)], ua[..., :, p(npx + 1)]], -1)
+            dx4 = jnp.stack([dxa[..., :, p(npx - 2)], dxa[..., :, p(npx - 1)], dxa[..., :, p(npx)], dxa[..., :, p(npx + 1)]], -1)
+            sg3 = sin_sg[2][..., :, p(npx - 1)]
+            sg1 = sin_sg[0][..., :, p(npx)]
+        ute = _edge_interpolate4(ua4, dx4)
+        ut = ut.at[..., :, ei].set(ute)
+        uc = uc.at[..., :, ei].set(jnp.where(ute > 0.0, ute * sg3, ute * sg1))
+        ut = ut.at[..., :, ei - 1].set(
+            (uc[..., :, ei - 1] - v[..., :, ei - 1] * cosa_u[..., :, ei - 1])
+            * rsin_u[..., :, ei - 1]
+        )
+        ut = ut.at[..., :, ei + 1].set(
+            (uc[..., :, ei + 1] - v[..., :, ei + 1] * cosa_u[..., :, ei + 1])
+            * rsin_u[..., :, ei + 1]
+        )
+        return uc, ut
+
+    uc, ut = x_edge(uc, ut, 1)
+    uc, ut = x_edge(uc, ut, npx)
+
+    # ---- vtmp corner fixes, Y-dir (sw_core_nlm.F90:3004-3024) ----
+    ie = n
+    for j in (-2, -1, 0):
+        vtmp = vtmp.at[..., p(j), p(0)].set(-utmp[..., p(0), p(1 - j)])          # sw
+        vtmp = vtmp.at[..., p(j), p(npx)].set(utmp[..., p(0), p(ie + j)])        # se
+    for j in (0, 1, 2):
+        vtmp = vtmp.at[..., p(npy + j), p(0)].set(utmp[..., p(npy), p(j + 1)])   # nw
+        vtmp = vtmp.at[..., p(npy + j), p(npx)].set(-utmp[..., p(npy), p(ie - j)])  # ne
+    va_f = va
+    va_f = va_f.at[..., p(-1), p(0)].set(-ua[..., p(0), p(2)])
+    va_f = va_f.at[..., p(0), p(0)].set(-ua[..., p(0), p(1)])
+    va_f = va_f.at[..., p(0), p(npx)].set(ua[..., p(0), p(npx - 1)])
+    va_f = va_f.at[..., p(-1), p(npx)].set(ua[..., p(0), p(npx - 2)])
+    va_f = va_f.at[..., p(npy), p(npx)].set(-ua[..., p(npy), p(npx - 1)])
+    va_f = va_f.at[..., p(npy + 1), p(npx)].set(-ua[..., p(npy), p(npx - 2)])
+    va_f = va_f.at[..., p(npy), p(0)].set(ua[..., p(npy), p(1)])
+    va_f = va_f.at[..., p(npy + 1), p(0)].set(ua[..., p(npy), p(2)])
+    va = va_f
+
+    # ---- vc: interior + edge rows (sw_core_nlm.F90:3026-3058) ----
+    vc = jnp.zeros(v.shape[:-2] + (jb, jc), dtype)
+    vc = vc.at[..., 2:jc - 1, :].set(
+        A2 * (vtmp[..., 0:jc - 3, :] + vtmp[..., 3:jc, :])
+        + A1 * (vtmp[..., 1:jc - 2, :] + vtmp[..., 2:jc - 1, :])
+    )
+    vt = (vc - u * cosa_v) * rsin_v
+
+    def y_edge(vc, vt, edge_j):
+        ej = p(edge_j)
+        if edge_j == 1:
+            vc = vc.at[..., ej - 1, :].set(
+                C1 * vtmp[..., p(-2), :] + C2 * vtmp[..., p(-1), :] + C3 * vtmp[..., p(0), :]
+            )
+            vc = vc.at[..., ej + 1, :].set(
+                C1 * vtmp[..., p(3), :] + C2 * vtmp[..., p(2), :] + C3 * vtmp[..., p(1), :]
+            )
+            va4 = jnp.stack([va[..., p(-1), :], va[..., p(0), :], va[..., p(1), :], va[..., p(2), :]], -1)
+            dy4 = jnp.stack([dya[..., p(-1), :], dya[..., p(0), :], dya[..., p(1), :], dya[..., p(2), :]], -1)
+            sg4 = sin_sg[3][..., p(0), :]
+            sg2 = sin_sg[1][..., p(1), :]
+        else:
+            vc = vc.at[..., ej - 1, :].set(
+                C1 * vtmp[..., p(npy - 3), :] + C2 * vtmp[..., p(npy - 2), :] + C3 * vtmp[..., p(npy - 1), :]
+            )
+            vc = vc.at[..., ej + 1, :].set(
+                C3 * vtmp[..., p(npy), :] + C2 * vtmp[..., p(npy + 1), :] + C1 * vtmp[..., p(npy + 2), :]
+            )
+            va4 = jnp.stack([va[..., p(npy - 2), :], va[..., p(npy - 1), :], va[..., p(npy), :], va[..., p(npy + 1), :]], -1)
+            dy4 = jnp.stack([dya[..., p(npy - 2), :], dya[..., p(npy - 1), :], dya[..., p(npy), :], dya[..., p(npy + 1), :]], -1)
+            sg4 = sin_sg[3][..., p(npy - 1), :]
+            sg2 = sin_sg[1][..., p(npy), :]
+        vte = _edge_interpolate4(va4, dy4)
+        vt = vt.at[..., ej, :].set(vte)
+        vc = vc.at[..., ej, :].set(jnp.where(vte > 0.0, vte * sg4, vte * sg2))
+        vt = vt.at[..., ej - 1, :].set(
+            (vc[..., ej - 1, :] - u[..., ej - 1, :] * cosa_v[..., ej - 1, :])
+            * rsin_v[..., ej - 1, :]
+        )
+        vt = vt.at[..., ej + 1, :].set(
+            (vc[..., ej + 1, :] - u[..., ej + 1, :] * cosa_v[..., ej + 1, :])
+            * rsin_v[..., ej + 1, :]
+        )
+        return vc, vt
+
+    vc, vt = y_edge(vc, vt, 1)
+    vc, vt = y_edge(vc, vt, npy)
+
+    return ua, va, uc, vc, ut, vt
+
+
+# ----------------------------------------------------------------------
+# scalar corner fills used inside c_sw / d_sw (sw_core_nlm.F90:3186-3297)
+# ----------------------------------------------------------------------
+
+def fill_4corners(q, dir_, npx):
+    """fill_4corners for a center scalar (2-deep), sw_core_nlm.F90:3232+."""
+    p = F2P
+    npy = npx
+    if dir_ == 1:
+        upd = [
+            ((-1, 0), (0, 2)), ((0, 0), (0, 1)),
+            ((npx + 1, 0), (npx, 2)), ((npx, 0), (npx, 1)),
+            ((0, npy), (0, npy - 1)), ((-1, npy), (0, npy - 2)),
+            ((npx, npy), (npx, npy - 1)), ((npx + 1, npy), (npx, npy - 2)),
+        ]
+    else:
+        upd = [
+            ((0, 0), (1, 0)), ((0, -1), (2, 0)),
+            ((npx, 0), (npx - 1, 0)), ((npx, -1), (npx - 2, 0)),
+            ((0, npy), (1, npy)), ((0, npy + 1), (2, npy)),
+            ((npx, npy), (npx - 1, npy)), ((npx, npy + 1), (npx - 2, npy)),
+        ]
+    for (ti, tj), (si, sj) in upd:
+        q = q.at[..., p(tj), p(ti)].set(q[..., p(sj), p(si)])
+    return q
+
+
+def fill2_4corners(q1, q2, dir_, npx):
+    return fill_4corners(q1, dir_, npx), fill_4corners(q2, dir_, npx)
+
+
+# ----------------------------------------------------------------------
+# divergence_corner (sw_core_nlm.F90:1661-1768)
+# ----------------------------------------------------------------------
+
+def divergence_corner(u, v, ua, va, grid, npx):
+    """B-grid divergence of the D-grid wind; returns divg_d (..., jb, jb)."""
+    n = npx - 1
+    npy = npx
+    jc = n + 2 * NG
+    jb = jc + 1
+    dtype = u.dtype
+    p = F2P
+    sin_sg = grid["sin_sg"]
+    cos_sg = grid["cos_sg"]
+    dxc = grid["dxc"]
+    dyc = grid["dyc"]
+    rarea_c = grid["rarea_c"]
+
+    # uf at v-positions (rows = B lines), cols center: (..., jb, jc)
+    # uf(i,j) = (u - 0.25*(va(i,j-1)+va(i,j))*(cos_sg(i,j-1,4)+cos_sg(i,j,2)))
+    #           * dyc * 0.5*(sin_sg(i,j-1,4)+sin_sg(i,j,2))
+    uf = jnp.zeros(u.shape, dtype)
+    uf_i = (
+        u[..., 1:jb - 1, :]
+        - 0.25
+        * (va[..., 0:jc - 1, :] + va[..., 1:jc, :])
+        * (cos_sg[3][..., 0:jc - 1, :] + cos_sg[1][..., 1:jc, :])
+    ) * dyc[..., 1:jb - 1, :] * 0.5 * (
+        sin_sg[3][..., 0:jc - 1, :] + sin_sg[1][..., 1:jc, :]
+    )
+    uf = uf.at[..., 1:jb - 1, :].set(uf_i)
+    # edge rows j==1, npy: uf = u*dyc*0.5*(sin_sg(i,j-1,4)+sin_sg(i,j,2))
+    for jf in (1, npy):
+        jj = p(jf)
+        uf = uf.at[..., jj, :].set(
+            u[..., jj, :]
+            * dyc[..., jj, :]
+            * 0.5
+            * (sin_sg[3][..., jj - 1, :] + sin_sg[1][..., jj, :])
+        )
+
+    vf = jnp.zeros(v.shape, dtype)
+    vf_i = (
+        v[..., :, 1:jb - 1]
+        - 0.25
+        * (ua[..., :, 0:jc - 1] + ua[..., :, 1:jc])
+        * (cos_sg[2][..., :, 0:jc - 1] + cos_sg[0][..., :, 1:jc])
+    ) * dxc[..., :, 1:jb - 1] * 0.5 * (
+        sin_sg[2][..., :, 0:jc - 1] + sin_sg[0][..., :, 1:jc]
+    )
+    vf = vf.at[..., :, 1:jb - 1].set(vf_i)
+    for if_ in (1, npx):
+        ii = p(if_)
+        vf = vf.at[..., :, ii].set(
+            v[..., :, ii]
+            * dxc[..., :, ii]
+            * 0.5
+            * (sin_sg[2][..., :, ii - 1] + sin_sg[0][..., :, ii])
+        )
+
+    # divg_d(i,j) = (vf(i,j-1)-vf(i,j)) + (uf(i-1,j)-uf(i,j)) at B point (i,j).
+    # vf rows are cell rows (j-1, j -> padded jjb-1, jjb), cols are B lines;
+    # uf rows are B lines, cols are cell cols (i-1, i -> iib-1, iib).
+    divg = jnp.zeros(u.shape[:-2] + (jb, jb), dtype)
+    divg = divg.at[..., 1:jc, 1:jc].set(
+        (vf[..., 0:jc - 1, 1:jc] - vf[..., 1:jc, 1:jc])
+        + (uf[..., 1:jc, 0:jc - 1] - uf[..., 1:jc, 1:jc])
+    )
+
+    # corner term removal (always, all faces whole)
+    divg = divg.at[..., p(1), p(1)].add(-vf[..., p(1), p(0)])
+    divg = divg.at[..., p(1), p(npx)].add(-vf[..., p(1), p(npx)])
+    divg = divg.at[..., p(npy), p(npx)].add(vf[..., p(npy), p(npx)])
+    divg = divg.at[..., p(npy), p(1)].add(vf[..., p(npy), p(0)])
+
+    return rarea_c * divg
+
+
+# ----------------------------------------------------------------------
+# del6_vt_flux (sw_core_nlm.F90:1547-1658): del-n damping fluxes of a
+# ghosted A-grid field (relative vorticity / w).
+# ----------------------------------------------------------------------
+
+def del6_vt_flux(nord, damp, q, grid, topo):
+    """Returns (d2, fx2, fy2): damped field + diffusive fluxes (full width)."""
+    from ..parallel import halo
+
+    del6_u = grid["del6_u"]
+    del6_v = grid["del6_v"]
+    rarea = grid["rarea"]
+    jc = q.shape[-1]
+
+    d2 = damp * q
+    if nord > 0:
+        d2 = halo.copy_corners(d2, topo, 1)
+    fx2 = jnp.zeros(q.shape[:-1] + (jc + 1,), q.dtype)
+    fx2 = fx2.at[..., 1:jc].set(
+        del6_v[..., 1:jc] * (d2[..., 0:jc - 1] - d2[..., 1:jc])
+    )
+    if nord > 0:
+        d2 = halo.copy_corners(d2, topo, 2)
+    fy2 = jnp.zeros(q.shape[:-2] + (jc + 1,) + q.shape[-1:], q.dtype)
+    fy2 = fy2.at[..., 1:jc, :].set(
+        del6_u[..., 1:jc, :] * (d2[..., 0:jc - 1, :] - d2[..., 1:jc, :])
+    )
+
+    for _ in range(nord):
+        d2 = (
+            fx2[..., :, 0:jc] - fx2[..., :, 1:jc + 1]
+            + fy2[..., 0:jc, :] - fy2[..., 1:jc + 1, :]
+        ) * rarea
+        d2 = halo.copy_corners(d2, topo, 1)
+        fx2 = fx2.at[..., 1:jc].set(
+            del6_v[..., 1:jc] * (d2[..., 1:jc] - d2[..., 0:jc - 1])
+        )
+        d2 = halo.copy_corners(d2, topo, 2)
+        fy2 = fy2.at[..., 1:jc, :].set(
+            del6_u[..., 1:jc, :] * (d2[..., 1:jc, :] - d2[..., 0:jc - 1, :])
+        )
+    return d2, fx2, fy2

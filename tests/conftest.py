@@ -1,0 +1,16 @@
+import os
+
+# Force CPU for tests. NOTE: in this environment jax is pre-imported at
+# interpreter startup with a remote-TPU ("axon") platform; env vars alone are
+# too late, so also set the jax config before any backend initializes.
+# 8 virtual CPU devices let multi-device sharding tests run without a pod.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
