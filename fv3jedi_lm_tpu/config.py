@@ -88,6 +88,9 @@ class DynConfig:
     fv_sg_adj: int = -1
     nf_omega: int = 1
     convert_ke: bool = False
+    delt_max: float = 1.0    # dissipative-heating rate limiter (fv_arrays_nlm.F90:409)
+    nord_tr: int = 0         # tracer damping order (fv_arrays_nlm.F90:288)
+    trdm2: float = 0.0       # del-2 tracer damping coeff (fv_arrays_nlm.F90:295)
 
     # ------------------------------------------------------------------
     # Perturbation (linearization) options, reference fv_arrays_tlmadm.F90:37-92.

@@ -1,0 +1,400 @@
+"""Acoustic (Lagrangian-dynamics) core: the n_split loop.
+
+Re-derivation of model/dyn_core_nlm.F90 in whole-array JAX form, hydrostatic
+path (the LM's production configuration; NH via Riem solvers is layered on
+separately).  Vertical axis is LEADING: 3-D fields (npz, 6, jy, jx),
+interface fields (npz+1, 6, jy, jx); all horizontal ops broadcast over k.
+
+Time-split structure (dyn_core_nlm.F90:288-1000 per `it`):
+  halo(u,v) -> c_sw -> geopk(C) -> p_grad_c -> halo(uc,vc) -> d_sw
+  -> halo(delp,pt) -> geopk(D) -> one_grad_p -> [edge fix at it==n_split]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import NG
+from ..constants import CP as CP_AIR
+from ..ops.a2b_edge import a2b_ord2, a2b_ord4
+from ..ops.d_sw import d_sw
+from ..ops.sw_core import F2P, SL, c_sw
+from ..parallel import halo
+
+
+def geopk(ptop, delp, pt, hs, akap):
+    """Hydrostatic pressures + geopotential (dyn_core_nlm.F90:1954-2087).
+
+    pt is virtual potential temperature.  Computed on the full padded
+    domain (valid wherever delp is valid).  Returns (pe, peln, pk, gz, pkz).
+    """
+    km = delp.shape[0]
+    pe = jnp.concatenate(
+        [jnp.full((1,) + delp.shape[1:], ptop, delp.dtype),
+         ptop + jnp.cumsum(delp, axis=0)],
+        axis=0,
+    )
+    peln = jnp.log(pe)
+    pk = jnp.exp(akap * peln)
+    dgz = CP_AIR * pt * (pk[1:] - pk[:-1])
+    # gz(k) = hs + sum_{k'>=k} dgz(k'); gz(km+1)=hs
+    rev = jnp.cumsum(dgz[::-1], axis=0)[::-1]
+    gz = jnp.concatenate([hs[None] + rev, hs[None]], axis=0)
+    pkz = (pk[1:] - pk[:-1]) / (akap * (peln[1:] - peln[:-1]))
+    return pe, peln, pk, gz, pkz
+
+
+def p_grad_c(dt2, pkc, gz, uc, vc, grid, npx):
+    """C-grid pressure-gradient update (dyn_core_nlm.F90:1369-1428)."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    rdxc = grid["rdxc"]
+    rdyc = grid["rdyc"]
+    wk = pkc[1:] - pkc[:-1]      # (npz, ..., jc, jc)
+
+    bs = SL(1, npx)
+    cs = SL(1, n)
+    cm = slice(p(0), p(n) + 1)   # cells i-1 window for B cols 1..npx
+    c0 = slice(p(1), p(npx) + 1)  # cells i window
+
+    # uc(i,j) += dt2*rdxc/(wk(i-1,j)+wk(i,j)) *
+    #   ( (gz(i-1,j,k+1)-gz(i,j,k))*(pkc(i,j,k+1)-pkc(i-1,j,k))
+    #   + (gz(i-1,j,k)-gz(i,j,k+1))*(pkc(i-1,j,k+1)-pkc(i,j,k)) )
+    uc = uc.at[..., cs, bs].add(
+        dt2
+        * rdxc[..., cs, bs]
+        / (wk[..., cs, cm] + wk[..., cs, c0])
+        * (
+            (gz[1:][..., cs, cm] - gz[:-1][..., cs, c0])
+            * (pkc[1:][..., cs, c0] - pkc[:-1][..., cs, cm])
+            + (gz[:-1][..., cs, cm] - gz[1:][..., cs, c0])
+            * (pkc[1:][..., cs, cm] - pkc[:-1][..., cs, c0])
+        )
+    )
+    rm = slice(p(0), p(n) + 1)
+    r0 = slice(p(1), p(npy) + 1)
+    vc = vc.at[..., bs, cs].add(
+        dt2
+        * rdyc[..., bs, cs]
+        / (wk[..., rm, cs] + wk[..., r0, cs])
+        * (
+            (gz[1:][..., rm, cs] - gz[:-1][..., r0, cs])
+            * (pkc[1:][..., r0, cs] - pkc[:-1][..., rm, cs])
+            + (gz[:-1][..., rm, cs] - gz[1:][..., r0, cs])
+            * (pkc[1:][..., rm, cs] - pkc[:-1][..., r0, cs])
+        )
+    )
+    return uc, vc
+
+
+def one_grad_p(u, v, pk, gz, divg2, dt, grid, npx, ptop, akap, d_ext):
+    """D-grid pressure gradient, hydrostatic (dyn_core_nlm.F90:1645-1778)."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    rdx = grid["rdx"]
+    rdy = grid["rdy"]
+    npz = pk.shape[0] - 1
+    jb = u.shape[-2]
+    ptk = ptop ** akap
+
+    # B-grid interface fields
+    top = jnp.full(pk.shape[1:-2] + (jb, jb), ptk, pk.dtype)[None]
+    pk_b = jnp.concatenate([top, a2b_ord4(pk[1:], grid)], axis=0)
+    gz_b = a2b_ord4(gz, grid)
+
+    bs = SL(1, npx)
+    cs = SL(1, n)
+    if d_ext > 0.0:
+        wk2 = divg2[..., bs, p(1):p(n) + 1] - divg2[..., bs, p(2):p(npx) + 1]
+        wk1 = divg2[..., p(1):p(n) + 1, bs] - divg2[..., p(2):p(npy) + 1, bs]
+    else:
+        wk2 = 0.0
+        wk1 = 0.0
+
+    wk = pk_b[1:] - pk_b[:-1]
+    b0 = slice(p(1), p(n) + 1)    # B cols i for u's cells 1..n
+    b1 = slice(p(2), p(npx) + 1)  # B cols i+1
+    u_new = u.at[..., bs, cs].set(
+        rdx[..., bs, cs]
+        * (
+            wk2
+            + u[..., bs, cs]
+            + dt
+            / (wk[..., bs, b0] + wk[..., bs, b1])
+            * (
+                (gz_b[1:][..., bs, b0] - gz_b[:-1][..., bs, b1])
+                * (pk_b[1:][..., bs, b1] - pk_b[:-1][..., bs, b0])
+                + (gz_b[:-1][..., bs, b0] - gz_b[1:][..., bs, b1])
+                * (pk_b[1:][..., bs, b0] - pk_b[:-1][..., bs, b1])
+            )
+        )
+    )
+    r0 = slice(p(1), p(n) + 1)
+    r1 = slice(p(2), p(npy) + 1)
+    v_new = v.at[..., cs, bs].set(
+        rdy[..., cs, bs]
+        * (
+            wk1
+            + v[..., cs, bs]
+            + dt
+            / (wk[..., r0, bs] + wk[..., r1, bs])
+            * (
+                (gz_b[1:][..., r0, bs] - gz_b[:-1][..., r1, bs])
+                * (pk_b[1:][..., r1, bs] - pk_b[:-1][..., r0, bs])
+                + (gz_b[:-1][..., r0, bs] - gz_b[1:][..., r1, bs])
+                * (pk_b[1:][..., r0, bs] - pk_b[:-1][..., r1, bs])
+            )
+        )
+    )
+    return u_new, v_new
+
+
+def del2_cubed(q, cd, grid, topo, nmax, npx):
+    """Del-2 filter, e.g. for omega/heat source (dyn_core_nlm.F90:2090-2199)."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    jc = q.shape[-1]
+    del6_u = grid["del6_u"]
+    del6_v = grid["del6_v"]
+    rarea = grid["rarea"]
+    ntimes = min(3, nmax)
+
+    q = halo.fill_halo_center(q, topo)
+    for _ in range(ntimes):
+        # 3-point corner average
+        c3 = 1.0 / 3.0
+        for (ci, cj), (ai, aj), (bi, bj) in (
+            ((1, 1), (0, 1), (1, 0)),
+            ((n, 1), (npx, 1), (n, 0)),
+            ((n, n), (npx, n), (n, npy)),
+            ((1, n), (0, n), (1, npy)),
+        ):
+            m = (q[..., p(cj), p(ci)] + q[..., p(aj), p(ai)] + q[..., p(bj), p(bi)]) * c3
+            q = q.at[..., p(cj), p(ci)].set(m)
+            q = q.at[..., p(aj), p(ai)].set(m)
+            q = q.at[..., p(bj), p(bi)].set(m)
+
+        qx = halo.copy_corners(q, topo, 1)
+        fx = del6_v[..., :, 1:jc] * (qx[..., :, 0:jc - 1] - qx[..., :, 1:jc])
+        qy = halo.copy_corners(q, topo, 2)
+        fy = del6_u[..., 1:jc, :] * (qy[..., 0:jc - 1, :] - qy[..., 1:jc, :])
+        q = q.at[..., 1:jc - 1, 1:jc - 1].add(
+            cd
+            * rarea[..., 1:jc - 1, 1:jc - 1]
+            * (
+                fx[..., 1:jc - 1, 0:jc - 2] - fx[..., 1:jc - 1, 1:jc - 1]
+                + fy[..., 0:jc - 2, 1:jc - 1] - fy[..., 1:jc - 1, 1:jc - 1]
+            )
+        )
+    return q
+
+
+def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
+    """One mdt step = n_split acoustic sub-steps (hydrostatic).
+
+    state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
+    accumulators mfx, mfy, cx, cy.  Returns updated state plus pk/pe/peln/pkz
+    from the final geopk for the vertical remap.
+    """
+    npx = cfg.npx
+    n = npx - 1
+    n_split = cfg.n_split
+    dt = dt_remap / n_split
+    dt2 = 0.5 * dt
+    dtype = state["u"].dtype
+    npz = state["delp"].shape[0]
+    jc = n + 2 * NG
+    jb = jc + 1
+    p = F2P
+
+    u, v, w = state["u"], state["v"], state["w"]
+    delp, pt = state["delp"], state["pt"]
+    uc, vc = state["uc"], state["vc"]
+    divgd = state["divgd"]
+    phis = state["phis"]
+    mfx, mfy, cx, cy = state["mfx"], state["mfy"], state["cx"], state["cy"]
+
+    pk = pe = peln = pkz = None
+    heat_source = jnp.zeros((npz,) + u.shape[1:-2] + (n, n), dtype)
+
+    for it in range(1, n_split + 1):
+        last = it == n_split
+        u, v = halo.fill_halo_dgrid(u, v, topo)
+        if not cfg.hydrostatic:
+            w = halo.fill_halo_center(w, topo)
+
+        delpc, ptc, wc, uc, vc, divgd, ua, va = c_sw(
+            delp, pt, u, v, w, uc, vc, grid, topo, dt2, cfg.nord,
+            cfg.hydrostatic, npx,
+        )
+        if cfg.nord > 0:
+            divgd = halo.fill_halo_corner(divgd, topo)
+
+        _, _, pkc_c, gz_c, _ = geopk(ptop, delpc, ptc, phis, akap)
+        uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
+        uc, vc = halo.fill_halo_cgrid(uc, vc, topo)
+
+        # per-level sponge-configuration (dyn_core_nlm.F90:530-630)
+        # is applied by splitting the level range into bands with static
+        # coefficient sets; the LM default (n_sponge<0 analogue handled
+        # by caller passing uniform coefficients) uses k-uniform values
+        # except the top sponge bands below.
+        if cfg.d_ext > 0.0:
+            wk_dext = a2b_ord2(delp, grid)  # per-level B-grid delp
+
+        res = None
+        bands = _sponge_bands(cfg, npz)
+        outs = []
+        for (k0, k1, pars) in bands:
+            sl = slice(k0, k1)
+            r = d_sw(
+                delp[sl], pt[sl], u[sl], v[sl],
+                (w[sl] if not cfg.hydrostatic else w[sl]),
+                uc[sl], vc[sl], ua[sl], va[sl], divgd[sl],
+                mfx[sl], mfy[sl], cx[sl], cy[sl],
+                grid, topo, dt, npx,
+                pars["hord_mt"], pars["hord_vt"], pars["hord_tm"], pars["hord_dp"],
+                pars["nord"], pars["nord_v"], pars["nord_t"], pars["nord_w"],
+                cfg.dddmp, pars["d2_divg"], cfg.d4_bg,
+                pars["damp_v"], pars["damp_w"], pars["damp_t"], pars["d_con"],
+                cfg.ke_bg, cfg.hydrostatic,
+            )
+            outs.append(r)
+
+        def cat(key):
+            return jnp.concatenate([o[key] for o in outs], axis=0)
+
+        delp, pt, u, v = cat("delp"), cat("pt"), cat("u"), cat("v")
+        if not cfg.hydrostatic:
+            w = cat("w")
+        divgd = cat("divg_d")
+        divd_b = cat("divd_b")
+        mfx, mfy, cx, cy = cat("xflux"), cat("yflux"), cat("cx"), cat("cy")
+        heat_source = heat_source + cat("heat_source")
+
+        delp = halo.fill_halo_center(delp, topo)
+        pt = halo.fill_halo_center(pt, topo)
+
+        # external-mode damping vector (dyn_core_nlm.F90:707-728)
+        if cfg.d_ext > 0.0:
+            d2_ext = cfg.d_ext * grid["da_min_c"]
+            divg2 = _d_ext_divg2(wk_dext, divd_b, d2_ext, grid, npx)
+        else:
+            divg2 = jnp.zeros(u.shape[1:-2] + (jb, jb), dtype)
+
+        pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
+        if last:
+            pk = pkc
+
+        u, v = one_grad_p(
+            u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
+        )
+
+        if last:
+            # prevent edge-rounding divergence between faces
+            u, v = halo.fix_shared_edges_dgrid(u, v, topo)
+
+    # damping heat source -> pt (dyn_core_nlm.F90:1051-1100), hydrostatic
+    if cfg.d_con > 1.0e-5 and _n_con(cfg, npz) != 0:
+        nf_ke = min(3, cfg.nord + 1)
+        hs_full = jnp.zeros_like(delp).at[..., SL(1, n), SL(1, n)].set(heat_source)
+        hs_full = del2_cubed(hs_full, 0.20 * grid["da_min"], grid, topo, nf_ke, npx)
+        n_con = _n_con(cfg, npz)
+        cs = SL(1, n)
+        dtmp = hs_full[..., cs, cs] / (CP_AIR * delp[..., cs, cs])
+        delt = abs(dt_remap) * cfg.delt_max
+        kidx = jnp.arange(npz)[:, None, None, None]
+        upd = jnp.where(
+            kidx < 3,
+            dtmp,
+            jnp.sign(dtmp) * jnp.minimum(delt, jnp.abs(dtmp)),
+        ) / pkz[..., cs, cs]
+        upd = jnp.where(kidx < n_con, upd, 0.0)
+        pt = pt.at[..., cs, cs].add(upd)
+
+    state = dict(
+        state, u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,
+        mfx=mfx, mfy=mfy, cx=cx, cy=cy,
+    )
+    return state, dict(pk=pk, pe=pe, peln=peln, pkz=pkz)
+
+
+def _n_con(cfg, npz):
+    """Heat-source application depth (dyn_core_nlm.F90:270-283)."""
+    if cfg.convert_ke or cfg.vtdm4 > 1.0e-4:
+        return npz
+    if cfg.d2_bg_k1 < 1.0e-3:
+        return 0
+    return 1 if cfg.d2_bg_k2 < 1.0e-3 else 2
+
+
+def _d_ext_divg2(delp_b, divd_b, d2_ext, grid, npx):
+    """divg2 = d_ext*da_min_c * sum_k(delp_b*div_b)/sum_k(delp_b) at B points
+    (dyn_core_nlm.F90:707-728); inputs are per-level B-grid arrays (zero
+    outside B 1..npx, so the quotient is masked there)."""
+    wk = jnp.sum(delp_b, axis=0)
+    dv = jnp.sum(delp_b * divd_b, axis=0)
+    return jnp.where(wk > 0.0, d2_ext * dv / jnp.where(wk > 0.0, wk, 1.0), 0.0)
+
+
+def _sponge_bands(cfg, npz):
+    """Static per-k damping-coefficient bands (dyn_core_nlm.F90:536-630).
+
+    Returns a list of (k0, k1, params) with contiguous level ranges sharing
+    one static coefficient set, so d_sw is traced once per band.
+    """
+    base = dict(
+        hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt, hord_tm=cfg.hord_tm,
+        hord_dp=cfg.hord_dp,
+        nord=cfg.nord, nord_v=min(2, cfg.nord), nord_t=min(2, cfg.nord),
+        nord_w=min(2, cfg.nord),
+        d2_divg=min(0.20, cfg.d2_bg),
+        damp_v=(cfg.vtdm4 if cfg.do_vort_damp else 0.0),
+        damp_w=(cfg.vtdm4 if cfg.do_vort_damp else 0.0),
+        damp_t=(cfg.vtdm4 if cfg.do_vort_damp else 0.0),
+        d_con=cfg.d_con,
+    )
+    if npz == 1 or cfg.n_sponge < 0:
+        b = dict(base, d2_divg=cfg.d2_bg)
+        return [(0, npz, b)]
+
+    bands = []
+    k_sponge2 = max(2, cfg.n_sponge - 1)
+    k_sponge3 = max(3, cfg.n_sponge)
+    specials = {}
+    # k==1 (Fortran) -> index 0
+    d2 = max(0.01, cfg.d2_bg, cfg.d2_bg_k1)
+    p1 = dict(base, nord=0, d2_divg=d2, nord_w=0, damp_w=d2, d_con=0.0)
+    if cfg.do_vort_damp:
+        p1["nord_v"] = 0
+        p1["damp_v"] = 0.5 * d2
+        p1["damp_t"] = 0.5 * d2  # damp_t follows damp_vt(k) in reference
+    specials[0] = p1
+    if cfg.d2_bg_k2 > 0.01:
+        d2 = max(cfg.d2_bg, cfg.d2_bg_k2)
+        p2 = dict(base, nord=0, d2_divg=d2, nord_w=0, damp_w=d2, d_con=0.0)
+        if cfg.do_vort_damp:
+            p2["nord_v"] = 0
+            p2["damp_v"] = 0.5 * d2
+            p2["damp_t"] = 0.5 * d2
+        specials[k_sponge2 - 1] = p2
+    if cfg.d2_bg_k2 > 0.05:
+        d2 = max(cfg.d2_bg, 0.2 * cfg.d2_bg_k2)
+        p3 = dict(base, nord=0, d2_divg=d2, nord_w=0, damp_w=d2, d_con=0.0)
+        specials[k_sponge3 - 1] = p3
+
+    k = 0
+    while k < npz:
+        if k in specials:
+            bands.append((k, k + 1, specials[k]))
+            k += 1
+        else:
+            k1 = k + 1
+            while k1 < npz and k1 not in specials:
+                k1 += 1
+            bands.append((k, k1, base))
+            k = k1
+    return bands

@@ -398,3 +398,235 @@ def del6_vt_flux(nord, damp, q, grid, topo):
             del6_u[..., 1:jc, :] * (d2[..., 1:jc, :] - d2[..., 0:jc - 1, :])
         )
     return d2, fx2, fy2
+
+
+# ----------------------------------------------------------------------
+# c_sw: C-grid Lin-Rood half step (sw_core_nlm.F90:77-489)
+# ----------------------------------------------------------------------
+
+def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
+    """C-grid half-step.
+
+    Inputs are halo-filled padded fields; uc/vc are the current C-grid winds
+    (INOUT in the reference; we return the updated pair).  Returns
+    (delpc, ptc, wc, uc_new, vc_new, divg_d, ua, va).
+    """
+    n = npx - 1
+    npy = npx
+    jc = n + 2 * NG
+    jb = jc + 1
+    p = F2P
+    dtype = u.dtype
+
+    dy = grid["dy"]        # v-pos (..., jc, jb)
+    dx = grid["dx"]        # u-pos (..., jb, jc)
+    dxc = grid["dxc"]      # uc-pos (..., jc, jb)
+    dyc = grid["dyc"]      # vc-pos (..., jb, jc)
+    sin_sg = grid["sin_sg"]
+    cos_sg = grid["cos_sg"]
+    cosa_u = grid["cosa_u"]
+    cosa_v = grid["cosa_v"]
+    sina_u = grid["sina_u"]
+    sina_v = grid["sina_v"]
+    rarea = grid["rarea"]
+    rarea_c = grid["rarea_c"]
+    rdxc = grid["rdxc"]
+    rdyc = grid["rdyc"]
+    fC = grid["fC"]
+
+    ua, va, uc0, vc0, ut, vt = d2a2c_vect(u, v, grid, npx)
+    uc = uc0
+    vc = vc0
+
+    if nord > 0:
+        divg_d = divergence_corner(u, v, ua, va, grid, npx)
+    else:
+        divg_d = jnp.zeros(u.shape[:-2] + (jb, jb), dtype)
+
+    # ---- courant-like transport winds (sw_core_nlm.F90:160-180) ----
+    # ut(i,j) = dt2*ut*dy*sin_sg(i-1 or i, j, 3 or 1), edge-aligned cols
+    ut_s = jnp.zeros_like(ut)
+    sel = ut[..., :, 1:jc] > 0.0
+    ut_s = ut_s.at[..., :, 1:jc].set(
+        dt2 * ut[..., :, 1:jc] * dy[..., :, 1:jc]
+        * jnp.where(sel, sin_sg[2][..., :, 0:jc - 1], sin_sg[0][..., :, 1:jc])
+    )
+    vt_s = jnp.zeros_like(vt)
+    selv = vt[..., 1:jc, :] > 0.0
+    vt_s = vt_s.at[..., 1:jc, :].set(
+        dt2 * vt[..., 1:jc, :] * dx[..., 1:jc, :]
+        * jnp.where(selv, sin_sg[3][..., 0:jc - 1, :], sin_sg[1][..., 1:jc, :])
+    )
+    ut = ut_s
+    vt = vt_s
+
+    # ---- transport delp / pt / w (sw_core_nlm.F90:182-284) ----
+    delp_x, pt_x = fill2_4corners(delp, pt, 1, npx)
+    w_x = fill_4corners(w, 1, npx) if not hydrostatic else w
+    selx = ut[..., :, 1:jc] > 0.0
+    fx1 = jnp.zeros_like(ut)
+    fx1 = fx1.at[..., :, 1:jc].set(
+        ut[..., :, 1:jc]
+        * jnp.where(selx, delp_x[..., :, 0:jc - 1], delp_x[..., :, 1:jc])
+    )
+    fx = jnp.zeros_like(ut)
+    fx = fx.at[..., :, 1:jc].set(
+        fx1[..., :, 1:jc]
+        * jnp.where(selx, pt_x[..., :, 0:jc - 1], pt_x[..., :, 1:jc])
+    )
+    if not hydrostatic:
+        fx2 = jnp.zeros_like(ut)
+        fx2 = fx2.at[..., :, 1:jc].set(
+            fx1[..., :, 1:jc]
+            * jnp.where(selx, w_x[..., :, 0:jc - 1], w_x[..., :, 1:jc])
+        )
+
+    delp_y, pt_y = fill2_4corners(delp, pt, 2, npx)
+    w_y = fill_4corners(w, 2, npx) if not hydrostatic else w
+    sely = vt[..., 1:jc, :] > 0.0
+    fy1 = jnp.zeros_like(vt)
+    fy1 = fy1.at[..., 1:jc, :].set(
+        vt[..., 1:jc, :]
+        * jnp.where(sely, delp_y[..., 0:jc - 1, :], delp_y[..., 1:jc, :])
+    )
+    fy = jnp.zeros_like(vt)
+    fy = fy.at[..., 1:jc, :].set(
+        fy1[..., 1:jc, :]
+        * jnp.where(sely, pt_y[..., 0:jc - 1, :], pt_y[..., 1:jc, :])
+    )
+    if not hydrostatic:
+        fy2 = jnp.zeros_like(vt)
+        fy2 = fy2.at[..., 1:jc, :].set(
+            fy1[..., 1:jc, :]
+            * jnp.where(sely, w_y[..., 0:jc - 1, :], w_y[..., 1:jc, :])
+        )
+
+    # cell updates over [is-1, ie+1]^2 = cells 0..n+1
+    cs = slice(p(0), p(n + 1) + 1)
+    div1 = (
+        fx1[..., cs, p(0):p(n + 2) + 1][..., :, :-1]
+        - fx1[..., cs, p(0):p(n + 2) + 1][..., :, 1:]
+        + fy1[..., p(0):p(n + 2) + 1, cs][..., :-1, :]
+        - fy1[..., p(0):p(n + 2) + 1, cs][..., 1:, :]
+    ) * rarea[..., cs, cs]
+    divt = (
+        fx[..., cs, p(0):p(n + 2) + 1][..., :, :-1]
+        - fx[..., cs, p(0):p(n + 2) + 1][..., :, 1:]
+        + fy[..., p(0):p(n + 2) + 1, cs][..., :-1, :]
+        - fy[..., p(0):p(n + 2) + 1, cs][..., 1:, :]
+    ) * rarea[..., cs, cs]
+    delpc = jnp.zeros_like(delp)
+    delpc_i = delp[..., cs, cs] + div1
+    delpc = delpc.at[..., cs, cs].set(delpc_i)
+    ptc = jnp.zeros_like(pt)
+    ptc = ptc.at[..., cs, cs].set(
+        (pt[..., cs, cs] * delp[..., cs, cs] + divt) / delpc_i
+    )
+    wc = jnp.zeros_like(w)
+    if not hydrostatic:
+        divw = (
+            fx2[..., cs, p(0):p(n + 2) + 1][..., :, :-1]
+            - fx2[..., cs, p(0):p(n + 2) + 1][..., :, 1:]
+            + fy2[..., p(0):p(n + 2) + 1, cs][..., :-1, :]
+            - fy2[..., p(0):p(n + 2) + 1, cs][..., 1:, :]
+        ) * rarea[..., cs, cs]
+        wc = wc.at[..., cs, cs].set(
+            (w[..., cs, cs] * delp[..., cs, cs] + divw) / delpc_i
+        )
+
+    # ---- kinetic energy (sw_core_nlm.F90:286-365), cells 0..n+1 ----
+    # x part: upwind uc with edge covariant correction
+    ke_pos = uc[..., cs, p(0):p(n + 1) + 1]          # uc(i,j), cells 0..n+1
+    ke_neg = uc[..., cs, p(1):p(n + 2) + 1]          # uc(i+1,j)
+    # overrides (column positions within the cell window 0..n+1)
+    v_1 = v[..., cs, p(1)]
+    v_n = v[..., cs, p(npx)]
+    uc_1 = uc[..., cs, p(1)]
+    uc_n = uc[..., cs, p(npx)]
+    ke_pos = ke_pos.at[..., :, 1].set(
+        uc_1 * sin_sg[0][..., cs, p(1)] + v_1 * cos_sg[0][..., cs, p(1)]
+    )
+    ke_pos = ke_pos.at[..., :, npx].set(
+        uc_n * sin_sg[0][..., cs, p(npx)] + v_n * cos_sg[0][..., cs, p(npx)]
+    )
+    ke_neg = ke_neg.at[..., :, 0].set(
+        uc_1 * sin_sg[2][..., cs, p(0)] + v_1 * cos_sg[2][..., cs, p(0)]
+    )
+    ke_neg = ke_neg.at[..., :, npx - 1].set(
+        uc_n * sin_sg[2][..., cs, p(npx - 1)] + v_n * cos_sg[2][..., cs, p(npx - 1)]
+    )
+    ke_x = jnp.where(ua[..., cs, cs] > 0.0, ke_pos, ke_neg)
+
+    vo_pos = vc[..., p(0):p(n + 1) + 1, cs]
+    vo_neg = vc[..., p(1):p(n + 2) + 1, cs]
+    u_1 = u[..., p(1), cs]
+    u_n = u[..., p(npy), cs]
+    vc_1 = vc[..., p(1), cs]
+    vc_n = vc[..., p(npy), cs]
+    vo_pos = vo_pos.at[..., 1, :].set(
+        vc_1 * sin_sg[1][..., p(1), cs] + u_1 * cos_sg[1][..., p(1), cs]
+    )
+    vo_pos = vo_pos.at[..., npy, :].set(
+        vc_n * sin_sg[1][..., p(npy), cs] + u_n * cos_sg[1][..., p(npy), cs]
+    )
+    vo_neg = vo_neg.at[..., 0, :].set(
+        vc_1 * sin_sg[3][..., p(0), cs] + u_1 * cos_sg[3][..., p(0), cs]
+    )
+    vo_neg = vo_neg.at[..., npy - 1, :].set(
+        vc_n * sin_sg[3][..., p(npy - 1), cs] + u_n * cos_sg[3][..., p(npy - 1), cs]
+    )
+    ke_y = jnp.where(va[..., cs, cs] > 0.0, vo_pos, vo_neg)
+
+    dt4 = 0.5 * dt2
+    ke = jnp.zeros_like(delp)
+    ke = ke.at[..., cs, cs].set(
+        dt4 * (ua[..., cs, cs] * ke_x + va[..., cs, cs] * ke_y)
+    )
+
+    # ---- circulation -> absolute vorticity on B grid (:367-400) ----
+    fxc = uc * dxc                                     # (..., jc, jb)
+    fyc = vc * dyc                                     # (..., jb, jc)
+    bs = slice(p(1), p(npx) + 1)                       # B points 1..npx
+    # vort(i,j) = fx(i,j-1)-fx(i,j) + fy(i,j)-fy(i-1,j); fx rows are cell rows
+    vort_c = (
+        fxc[..., p(0):p(npy - 1) + 1, bs] - fxc[..., p(1):p(npy) + 1, bs]
+        + fyc[..., bs, p(1):p(npx) + 1] - fyc[..., bs, p(0):p(npx - 1) + 1]
+    )
+    # corner terms
+    vort_c = vort_c.at[..., 0, 0].add(fyc[..., p(1), p(0)])
+    vort_c = vort_c.at[..., 0, npx - 1].add(-fyc[..., p(1), p(npx)])
+    vort_c = vort_c.at[..., npy - 1, npx - 1].add(-fyc[..., p(npy), p(npx)])
+    vort_c = vort_c.at[..., npy - 1, 0].add(fyc[..., p(npy), p(0)])
+    vort_b = fC[..., bs, bs] + rarea_c[..., bs, bs] * vort_c   # (..., npy, npx)
+
+    # ---- vorticity transport & wind update (:402-489) ----
+    # fy1 at uc positions, rows cells 1..n, cols B 1..npx
+    rs = slice(p(1), p(n) + 1)
+    fy1 = dt2 * (
+        v[..., rs, bs] - uc[..., rs, bs] * cosa_u[..., rs, bs]
+    ) / sina_u[..., rs, bs]
+    fy1 = fy1.at[..., :, 0].set(dt2 * v[..., rs, p(1)])
+    fy1 = fy1.at[..., :, npx - 1].set(dt2 * v[..., rs, p(npx)])
+    # upwind vort_b along y: for cell row j, rows j / j+1 of B
+    fyv = jnp.where(fy1 > 0.0, vort_b[..., 0:n, :], vort_b[..., 1:n + 1, :])
+
+    # fx1 at vc positions, rows B 1..npy, cols cells 1..n
+    fx1v = dt2 * (
+        u[..., bs, rs] - vc[..., bs, rs] * cosa_v[..., bs, rs]
+    ) / sina_v[..., bs, rs]
+    fx1v = fx1v.at[..., 0, :].set(dt2 * u[..., p(1), rs])
+    fx1v = fx1v.at[..., npy - 1, :].set(dt2 * u[..., p(npy), rs])
+    fxv = jnp.where(fx1v > 0.0, vort_b[..., :, 0:n], vort_b[..., :, 1:n + 1])
+
+    uc_new = uc.at[..., rs, bs].add(
+        fy1 * fyv
+        + rdxc[..., rs, bs]
+        * (ke[..., rs, p(0):p(n) + 1] - ke[..., rs, p(1):p(npx) + 1])
+    )
+    vc_new = vc.at[..., bs, rs].add(
+        -fx1v * fxv
+        + rdyc[..., bs, rs]
+        * (ke[..., p(0):p(n) + 1, rs] - ke[..., p(1):p(npy) + 1, rs])
+    )
+
+    return delpc, ptc, wc, uc_new, vc_new, divg_d, ua, va
