@@ -349,6 +349,8 @@ def d_sw(
     rsin_v = grid["rsin_v"]
     cosa = grid["cosa"]
     rsina = grid["rsina"]
+    sina_u = grid["sina_u"]
+    sina_v = grid["sina_v"]
     f0 = grid["f0"]
     rarea = grid["rarea"]
     rarea_c = grid["rarea_c"]

@@ -363,7 +363,6 @@ def map1_ppm(pe1, q1, qs, pe2, iv, kord, q_min=None):
     """
     shp = q1.shape
     km = shp[0]
-    ncol = int(jnp.prod(jnp.array(shp[1:]))) if len(shp) > 1 else 1
     q1f = q1.reshape(km, -1)
     pe1f = pe1.reshape(km + 1, -1)
     pe2f = pe2.reshape(km + 1, -1)
