@@ -1,0 +1,79 @@
+"""Headline benchmark: TLM+ADM grid-points per second per chip.
+
+Runs one full tangent-linear step plus one adjoint step (the 4D-Var
+inner-loop unit, reference fv3jedi_lm_mod.F90 step_tl:161 / step_ad:176) at
+c96L72 in float32 on whatever single accelerator JAX exposes, and reports
+grid-points processed per second:
+
+    gridpoints = nx * ny * 6 faces * npz levels
+    value      = gridpoints / (t_tl + t_ad)
+
+The reference publishes no numbers (BASELINE.md) so vs_baseline is null.
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# keep CPU fallback usable; on TPU this is a no-op
+os.environ.setdefault("XLA_FLAGS", "")
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+    from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
+
+    plat = jax.devices()[0].platform
+    # c96L72 on an accelerator; smaller on CPU so the bench finishes fast
+    npx = 97 if plat != "cpu" else 25
+    npz = 72 if plat != "cpu" else 16
+    n_split = 6
+    cfg = LMConfig(
+        dyn=DynConfig(npx=npx, npy=npx, npz=npz, n_split=n_split, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=6,
+                      dtype="float32"),
+        dt=900.0,
+    )
+    lm = LinearModel.create(cfg)
+    traj = lm.rest_traj()
+    rng = np.random.default_rng(0)
+    traj["t"] = traj["t"] + 2.0 * rng.standard_normal(traj["t"].shape).astype(
+        np.float32
+    )
+    pert = {k: (1e-3 * rng.standard_normal(v.shape)).astype(np.float32)
+            for k, v in lm.zero_pert().items()}
+
+    # compile + warm up
+    tl = lm.step_tl(traj, pert)
+    ad = lm.step_ad(traj, tl)
+    jax.block_until_ready((tl, ad))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tl = lm.step_tl(traj, pert)
+        ad = lm.step_ad(traj, tl)
+    jax.block_until_ready((tl, ad))
+    dt_s = (time.perf_counter() - t0) / iters
+
+    n = npx - 1
+    gridpoints = n * n * 6 * npz
+    value = gridpoints / dt_s
+    print(json.dumps({
+        "metric": f"c{n}L{npz} TLM+ADM grid-points/s per chip ({plat})",
+        "value": round(value, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,215 @@
+"""L0 facade: the linear-model API.
+
+TPU-native re-design of the reference facade `fv3jedi_lm_type`
+(src/fv3jedi_lm_mod.F90:20-257, methods create:44 / step_nl:148 /
+step_tl:161 / step_ad:176) and the dynamics driver's state marshalling
+(src/dynamics/fv3jedi_lm_dynamics_mod.F90: traj_to_fv3:717, pert_to_fv3:848,
+fv3_to_pert:893).
+
+Design (SURVEY.md section 7.1):
+* trajectory and perturbation are plain dict pytrees of compute-domain
+  arrays — u (npz,6,ny+1,nx), v (npz,6,ny,nx+1), t/delp/qv/ql/qi/o3
+  (npz,6,ny,nx), plus 2-D phis (6,ny,nx) on the trajectory;
+* `step_nl` advances the trajectory with the nonlinear model;
+* `step_tl` is `jax.jvp` of the (pure) nonlinear step — the exact discrete
+  tangent linear.  This corresponds to the reference configured with
+  `split_hord/split_kord/split_damp = .false.` (model_tlmadm/
+  fv_control_tlmadm.F90:220-252: trajectory adopts the pert coefficients,
+  so TLM == derivative of the one shared nonlinear operator);
+* `step_ad` is `jax.vjp` of the same step: the adjoint is the transpose of
+  the TL operator by construction, so the dot-product identity
+  <M dx, dy> == <dx, M^T dy> holds to machine precision — the reference
+  needs 35 k lines of hand-curated Tapenade adjoint sweeps
+  (model_tlmadm/*_adm.F90) for the same contract.
+
+The adjoint costs ~= one forward recompute + one reverse sweep, same cost
+model as the reference (fv3jedi_lm_dynamics_mod.F90:507-633); trajectory
+residuals are checkpointed by XLA per `jax.checkpoint` policies placed at
+the k_split/n_split loop boundaries inside fv_dynamics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import NG
+from .config import LMConfig
+from .grid.device import to_device
+from .grid.eta import default_ak_bk
+from .grid.metrics import build_grid
+from .core.fv_dynamics import fv_dynamics
+from .parallel import halo
+
+TRACERS = ("qv", "ql", "qi", "o3")  # ncnst=4 (fv3jedi_lm_dynamics_mod.F90:159-167)
+PROG_3D = ("u", "v", "t", "delp") + TRACERS
+
+
+class LinearModel:
+    """Facade object: `create` once per (resolution, config), then step.
+
+    Mirrors the reference 10-method API (fv3jedi_lm_mod.F90:27-37); the
+    init_*/final_* pairs collapse away because steps are pure functions —
+    there is no mutable module state to set up or tear down.
+    """
+
+    def __init__(self, cfg: LMConfig, ak=None, bk=None):
+        self.cfg = cfg
+        dyn = cfg.dyn
+        self.dtype = jnp.dtype(dyn.dtype)
+        gm = build_grid(dyn.npx)
+        self.topo = gm.topo
+        self.grid = to_device(gm, dtype=self.dtype)
+        if ak is None:
+            ak, bk = default_ak_bk(dyn.npz, ptop=dyn.ptop)
+        self.ak = jnp.asarray(ak, dtype=self.dtype)
+        self.bk = jnp.asarray(bk, dtype=self.dtype)
+        self.ptop = float(ak[0])
+        self._jit_nl = None
+        self._jit_tl = None
+        self._jit_ad = None
+
+    # -- construction helpers ------------------------------------------------
+
+    @classmethod
+    def create(cls, cfg: LMConfig, ak=None, bk=None) -> "LinearModel":
+        """Reference `create(dt,npx,npy,npz,ptop,ak,bk)` (fv3jedi_lm_mod.F90:44)."""
+        return cls(cfg, ak, bk)
+
+    def zero_pert(self) -> dict:
+        """Allocate-and-zero a perturbation (allocate_pert,
+        src/utils/fv3jedi_lm_utils_mod.F90:75)."""
+        n = self.cfg.dyn.nx
+        npz = self.cfg.dyn.npz
+        z3 = lambda jy, jx: jnp.zeros((npz, 6, jy, jx), self.dtype)
+        p = {f: z3(n, n) for f in ("t", "delp") + TRACERS}
+        p["u"] = z3(n + 1, n)
+        p["v"] = z3(n, n + 1)
+        return p
+
+    def rest_traj(self, t0: float = 280.0, ps0: float = 1.0e5) -> dict:
+        """Resting isothermal trajectory (for tests/benchmarks)."""
+        tr = self.zero_pert()
+        n = self.cfg.dyn.nx
+        ak = np.asarray(self.ak)
+        bk = np.asarray(self.bk)
+        pe = ak[:, None, None, None] + bk[:, None, None, None] * ps0
+        tr["delp"] = jnp.asarray(
+            (pe[1:] - pe[:-1]) * np.ones((1, 6, n, n)), self.dtype
+        )
+        tr["t"] = jnp.full_like(tr["t"], t0)
+        tr["phis"] = jnp.zeros((6, n, n), self.dtype)
+        return tr
+
+    # -- marshalling (traj_to_fv3 / fv3_to_traj analogues) --------------------
+
+    def _pad(self, prog: dict) -> dict:
+        """Compute-domain dict -> padded (halo ng) internal state.
+
+        Halos enter zeroed and are filled inside fv_dynamics — same contract
+        as traj_to_fv3 (fv3jedi_lm_dynamics_mod.F90:717-809: zero the data
+        domain, copy compute domain, let mpp updates fill halos).  The shared
+        D-grid face-edge values are made single-owner consistent exactly as
+        the reference's mpp_get_boundary completion (:782-795).
+        """
+        dyn = self.cfg.dyn
+        n = dyn.nx
+        npz = dyn.npz
+        jc = n + 2 * NG
+        jb = jc + 1
+        cs = slice(NG, NG + n)
+        bs = slice(NG, NG + n + 1)
+
+        def pad3(x, jy, jx, sy, sx):
+            out = jnp.zeros((npz, 6, jy, jx), self.dtype)
+            return out.at[:, :, sy, sx].set(x.astype(self.dtype))
+
+        st = {}
+        st["u"] = pad3(prog["u"], jb, jc, bs, cs)
+        st["v"] = pad3(prog["v"], jc, jb, cs, bs)
+        st["u"], st["v"] = halo.fix_shared_edges_dgrid(st["u"], st["v"], self.topo)
+        st["pt"] = pad3(prog["t"], jc, jc, cs, cs)
+        st["delp"] = pad3(prog["delp"], jc, jc, cs, cs)
+        st["w"] = jnp.zeros((npz, 6, jc, jc), self.dtype)
+        q = [pad3(prog[name], jc, jc, cs, cs) for name in TRACERS]
+        return st, q
+
+    def _unpad(self, st: dict, q: list) -> dict:
+        n = self.cfg.dyn.nx
+        cs = slice(NG, NG + n)
+        bs = slice(NG, NG + n + 1)
+        out = {
+            "u": st["u"][:, :, bs, cs],
+            "v": st["v"][:, :, cs, bs],
+            "t": st["pt"][:, :, cs, cs],
+            "delp": st["delp"][:, :, cs, cs],
+        }
+        for name, qq in zip(TRACERS, q):
+            out[name] = qq[:, :, cs, cs]
+        return out
+
+    # -- the pure one-step function -------------------------------------------
+
+    def _step_fn(self, prog: dict, phis: jnp.ndarray) -> dict:
+        """One model step dt on compute-domain prognostic fields (pure)."""
+        dyn = self.cfg.dyn
+        st, q = self._pad(prog)
+        jc = dyn.nx + 2 * NG
+        phis_p = jnp.zeros((6, jc, jc), self.dtype)
+        phis_p = phis_p.at[:, NG:NG + dyn.nx, NG:NG + dyn.nx].set(
+            phis.astype(self.dtype)
+        )
+        phis_p = halo.fill_halo_center(phis_p, self.topo)
+        st["phis"] = phis_p
+        st, q = fv_dynamics(
+            st, q, self.grid, self.topo, dyn, self.cfg.dt,
+            self.ak, self.bk, self.ptop,
+        )
+        return self._unpad(st, q)
+
+    # -- public stepping API ---------------------------------------------------
+
+    def step_nl(self, traj: dict) -> dict:
+        """Nonlinear trajectory step (fv3jedi_lm_mod.F90:148-157)."""
+        if self._jit_nl is None:
+            self._jit_nl = jax.jit(self._step_fn)
+        phis = traj["phis"]
+        prog = {k: traj[k] for k in PROG_3D}
+        out = self._jit_nl(prog, phis)
+        out["phis"] = phis
+        return out
+
+    def step_tl(self, traj: dict, pert: dict) -> dict:
+        """Tangent-linear step: pert' = M(traj) @ pert (fv3jedi_lm_mod.F90:161).
+
+        Exact jvp of the discrete nonlinear step; the trajectory output is
+        discarded, as in the reference (fv3jedi_lm_dynamics_mod.F90:448).
+        """
+        if self._jit_tl is None:
+            def tl(prog, phis, p):
+                _, dp = jax.jvp(lambda pr: self._step_fn(pr, phis), (prog,), (p,))
+                return dp
+            self._jit_tl = jax.jit(tl)
+        prog = {k: traj[k] for k in PROG_3D}
+        p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
+        return self._jit_tl(prog, traj["phis"], p)
+
+    def step_ad(self, traj: dict, pert_ad: dict) -> dict:
+        """Adjoint step: pert_bar = M(traj)^T @ pert_ad (fv3jedi_lm_mod.F90:176).
+
+        vjp of the same step the TLM differentiates, so <M dx, dy> ==
+        <dx, M^T dy> holds to machine precision by construction (the
+        reference's contract, enforced there by 35k lines of Tapenade
+        adjoint code in model_tlmadm/*_adm.F90 + adStack checkpointing).
+        """
+        if self._jit_ad is None:
+            def ad(prog, phis, pb):
+                _, pull = jax.vjp(lambda pr: self._step_fn(pr, phis), prog)
+                return pull(pb)[0]
+            self._jit_ad = jax.jit(ad)
+        prog = {k: traj[k] for k in PROG_3D}
+        pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
+        return self._jit_ad(prog, traj["phis"], pb)

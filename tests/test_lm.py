@@ -1,0 +1,113 @@
+"""Facade-level correctness gates (SURVEY.md section 4):
+
+* TL/AD dot-product identity <M dx, dy> == <dx, M^T dy> (the reference's
+  operative contract, enforced by fv3-jedi's ctest through OOPS);
+* TLM linearity/consistency: ||M(x+eps dx) - M(x) - eps M'dx|| = O(eps^2);
+* nonlinear rest-state stability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LMConfig(
+        dyn=DynConfig(npx=13, npy=13, npz=10, n_split=2, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=3),
+        dt=450.0,
+    )
+    return LinearModel.create(cfg)
+
+
+@pytest.fixture(scope="module")
+def traj(lm):
+    """Non-trivial trajectory: resting atmosphere + smooth thermal bumps."""
+    tr = lm.rest_traj()
+    rng = np.random.default_rng(7)
+    n = lm.cfg.dyn.nx
+    npz = lm.cfg.dyn.npz
+    tr["t"] = tr["t"] + 2.0 * jnp.asarray(rng.standard_normal((npz, 6, n, n)))
+    tr["qv"] = tr["qv"] + 1e-3 * jnp.asarray(rng.random((npz, 6, n, n)))
+    tr["u"] = tr["u"] + 1.0 * jnp.asarray(rng.standard_normal(tr["u"].shape))
+    tr["v"] = tr["v"] + 1.0 * jnp.asarray(rng.standard_normal(tr["v"].shape))
+    return tr
+
+
+def _rand_pert(lm, seed):
+    rng = np.random.default_rng(seed)
+    p = lm.zero_pert()
+    scale = dict(u=1.0, v=1.0, t=1.0, delp=10.0, qv=1e-4, ql=1e-6,
+                 qi=1e-6, o3=1e-7)
+    return {k: jnp.asarray(rng.standard_normal(v.shape)) * scale[k]
+            for k, v in p.items()}
+
+
+def _dot(a, b):
+    return sum(jnp.vdot(a[k], b[k]) for k in PROG_3D)
+
+
+def test_rest_state_stays_at_rest(lm):
+    tr = lm.rest_traj()
+    out = lm.step_nl(tr)
+    assert float(jnp.abs(out["u"]).max()) < 1e-10
+    assert float(jnp.abs(out["t"] - 280.0).max()) < 1e-9
+    # mass conservation: surface pressure unchanged at machine precision
+    dps = out["delp"].sum(0) - tr["delp"].sum(0)
+    assert float(jnp.abs(dps).max()) < 1e-8
+
+
+def test_dot_product_identity(lm, traj):
+    """<M dx, dy> == <dx, M^T dy> to near machine precision (f64)."""
+    dx = _rand_pert(lm, 1)
+    dy = _rand_pert(lm, 2)
+    mdx = lm.step_tl(traj, dx)
+    mtdy = lm.step_ad(traj, dy)
+    lhs = float(_dot(mdx, dy))
+    rhs = float(_dot(dx, mtdy))
+    rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
+    assert rel < 1e-12, (lhs, rhs, rel)
+
+
+def test_tlm_linearity(lm, traj):
+    """||M(x + e dx) - M(x) - e M' dx|| / (e ||M' dx||) -> O(e)."""
+    dx = _rand_pert(lm, 3)
+    base = lm.step_nl(traj)
+    tl = lm.step_tl(traj, dx)
+
+    def rel_err(eps):
+        pert_traj = dict(traj)
+        for k in PROG_3D:
+            pert_traj[k] = traj[k] + eps * dx[k]
+        stepped = lm.step_nl(pert_traj)
+        num = 0.0
+        den = 0.0
+        for k in PROG_3D:
+            diff = (stepped[k] - base[k]) / eps - tl[k]
+            num += float(jnp.sum(diff * diff))
+            den += float(jnp.sum(tl[k] * tl[k]))
+        return (num / max(den, 1e-300)) ** 0.5
+
+    e1 = rel_err(1e-4)
+    e2 = rel_err(1e-6)
+    assert e1 < 1e-2, e1
+    # error should shrink roughly linearly in eps (allow slack for the
+    # piecewise-linear limiter switching, fv_mapz/tp_core limiters)
+    assert e2 < 0.1 * e1 or e2 < 1e-7, (e1, e2)
+
+
+def test_adjoint_of_tl_is_involutive(lm, traj):
+    """M^T applied twice via vjp-of-jvp consistency: <M^T y, M^T y> > 0 and
+    matches <y, M M^T y> through the dot-product identity."""
+    dy = _rand_pert(lm, 4)
+    mtdy = lm.step_ad(traj, dy)
+    m_mtdy = lm.step_tl(traj, mtdy)
+    lhs = float(_dot(mtdy, mtdy))
+    rhs = float(_dot(m_mtdy, dy))
+    assert lhs > 0.0
+    assert abs(lhs - rhs) / lhs < 1e-12
