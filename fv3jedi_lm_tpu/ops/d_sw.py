@@ -1007,10 +1007,24 @@ def d_sw(
             vort_s[..., p(0):p(npy - 1) + 1, bs] - vort_s[..., p(1):p(npy) + 1, bs]
             + ptc_s[..., bs, p(0):p(npx - 1) + 1] - ptc_s[..., bs, p(1):p(npx) + 1]
         )
-        delpc_b = delpc_b.at[..., 0, 0].add(-vort_s[..., p(0), p(1)])
-        delpc_b = delpc_b.at[..., 0, npx - 1].add(-vort_s[..., p(0), p(npx)])
-        delpc_b = delpc_b.at[..., npy - 1, npx - 1].add(vort_s[..., p(npy), p(npx)])
-        delpc_b = delpc_b.at[..., npy - 1, 0].add(vort_s[..., p(npy), p(1)])
+        # 3-term corner formulas (reference subtracts the invalid 4th term,
+        # sw_core_nlm.F90:1333-1337; direct set avoids reading it at all)
+        delpc_b = delpc_b.at[..., 0, 0].set(
+            -vort_s[..., p(1), p(1)]
+            + ptc_s[..., p(1), p(0)] - ptc_s[..., p(1), p(1)]
+        )
+        delpc_b = delpc_b.at[..., 0, npx - 1].set(
+            -vort_s[..., p(1), p(npx)]
+            + ptc_s[..., p(1), p(npx - 1)] - ptc_s[..., p(1), p(npx)]
+        )
+        delpc_b = delpc_b.at[..., npy - 1, npx - 1].set(
+            vort_s[..., p(npy - 1), p(npx)]
+            + ptc_s[..., p(npy), p(npx - 1)] - ptc_s[..., p(npy), p(npx)]
+        )
+        delpc_b = delpc_b.at[..., npy - 1, 0].set(
+            vort_s[..., p(npy - 1), p(1)]
+            + ptc_s[..., p(npy), p(0)] - ptc_s[..., p(npy), p(1)]
+        )
         delpc_b = rarea_c[..., bs, bs] * delpc_b
         dampc = da_min_c * jnp.maximum(
             d2_bg, jnp.minimum(0.20, dddmp * jnp.abs(delpc_b * dt))
@@ -1048,10 +1062,24 @@ def d_sw(
                 (ucd[..., 0:jc - 1, 1:jc] - ucd[..., 1:jc, 1:jc])
                 + (vcd[..., 1:jc, 0:jc - 1] - vcd[..., 1:jc, 1:jc])
             )
-            dd_new = dd_new.at[..., p(1), p(1)].add(-ucd[..., p(0), p(1)])
-            dd_new = dd_new.at[..., p(1), p(npx)].add(-ucd[..., p(0), p(npx)])
-            dd_new = dd_new.at[..., p(npy), p(npx)].add(ucd[..., p(npy), p(npx)])
-            dd_new = dd_new.at[..., p(npy), p(1)].add(ucd[..., p(npy), p(1)])
+            # 3-term corner formulas (sw_core_nlm.F90:1388-1392 subtracts the
+            # invalid term; direct set never reads it — robust to halo garbage)
+            dd_new = dd_new.at[..., p(1), p(1)].set(
+                -ucd[..., p(1), p(1)]
+                + vcd[..., p(1), p(0)] - vcd[..., p(1), p(1)]
+            )
+            dd_new = dd_new.at[..., p(1), p(npx)].set(
+                -ucd[..., p(1), p(npx)]
+                + vcd[..., p(1), p(npx - 1)] - vcd[..., p(1), p(npx)]
+            )
+            dd_new = dd_new.at[..., p(npy), p(npx)].set(
+                ucd[..., p(npy - 1), p(npx)]
+                + vcd[..., p(npy), p(npx - 1)] - vcd[..., p(npy), p(npx)]
+            )
+            dd_new = dd_new.at[..., p(npy), p(1)].set(
+                ucd[..., p(npy - 1), p(1)]
+                + vcd[..., p(npy), p(0)] - vcd[..., p(npy), p(1)]
+            )
             dd = dd_new * rarea_c
         if dddmp < 1.0e-5:
             vort_sm = jnp.zeros(u.shape[:-2] + (npx, npx), dtype)

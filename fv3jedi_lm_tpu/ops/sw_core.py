@@ -347,11 +347,25 @@ def divergence_corner(u, v, ua, va, grid, npx):
         + (uf[..., 1:jc, 0:jc - 1] - uf[..., 1:jc, 1:jc])
     )
 
-    # corner term removal (always, all faces whole)
-    divg = divg.at[..., p(1), p(1)].add(-vf[..., p(1), p(0)])
-    divg = divg.at[..., p(1), p(npx)].add(-vf[..., p(1), p(npx)])
-    divg = divg.at[..., p(npy), p(npx)].add(vf[..., p(npy), p(npx)])
-    divg = divg.at[..., p(npy), p(1)].add(vf[..., p(npy), p(0)])
+    # Corner B points have 3-edge topology: the reference computes the
+    # 4-term divergence then subtracts the invalid term ("Remove the extra
+    # term at the corners", sw_core_nlm.F90:1755-1759).  We instead SET the
+    # 3 valid terms directly — numerically identical in exact arithmetic and
+    # immune to garbage halo values (vf rows are cell rows, cols B lines;
+    # uf rows are B lines, cols cells).
+    divg = divg.at[..., p(1), p(1)].set(        # sw: -vf(1,1)+uf(0,1)-uf(1,1)
+        -vf[..., p(1), p(1)] + uf[..., p(1), p(0)] - uf[..., p(1), p(1)]
+    )
+    divg = divg.at[..., p(1), p(npx)].set(      # se
+        -vf[..., p(1), p(npx)] + uf[..., p(1), p(npx - 1)] - uf[..., p(1), p(npx)]
+    )
+    divg = divg.at[..., p(npy), p(npx)].set(    # ne: +vf(npx,npy-1)
+        vf[..., p(npy - 1), p(npx)]
+        + uf[..., p(npy), p(npx - 1)] - uf[..., p(npy), p(npx)]
+    )
+    divg = divg.at[..., p(npy), p(1)].set(      # nw
+        vf[..., p(npy - 1), p(1)] + uf[..., p(npy), p(0)] - uf[..., p(npy), p(1)]
+    )
 
     return rarea_c * divg
 
@@ -592,11 +606,23 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
         fxc[..., p(0):p(npy - 1) + 1, bs] - fxc[..., p(1):p(npy) + 1, bs]
         + fyc[..., bs, p(1):p(npx) + 1] - fyc[..., bs, p(0):p(npx - 1) + 1]
     )
-    # corner terms
-    vort_c = vort_c.at[..., 0, 0].add(fyc[..., p(1), p(0)])
-    vort_c = vort_c.at[..., 0, npx - 1].add(-fyc[..., p(1), p(npx)])
-    vort_c = vort_c.at[..., npy - 1, npx - 1].add(-fyc[..., p(npy), p(npx)])
-    vort_c = vort_c.at[..., npy - 1, 0].add(fyc[..., p(npy), p(0)])
+    # 3-term corner circulation (reference add-cancels the invalid term,
+    # sw_core_nlm.F90:388-392; direct set is exact and garbage-immune)
+    vort_c = vort_c.at[..., 0, 0].set(
+        fxc[..., p(0), p(1)] - fxc[..., p(1), p(1)] + fyc[..., p(1), p(1)]
+    )
+    vort_c = vort_c.at[..., 0, npx - 1].set(
+        fxc[..., p(0), p(npx)] - fxc[..., p(1), p(npx)]
+        - fyc[..., p(1), p(npx - 1)]
+    )
+    vort_c = vort_c.at[..., npy - 1, npx - 1].set(
+        fxc[..., p(npy - 1), p(npx)] - fxc[..., p(npy), p(npx)]
+        - fyc[..., p(npy), p(npx - 1)]
+    )
+    vort_c = vort_c.at[..., npy - 1, 0].set(
+        fxc[..., p(npy - 1), p(1)] - fxc[..., p(npy), p(1)]
+        + fyc[..., p(npy), p(1)]
+    )
     vort_b = fC[..., bs, bs] + rarea_c[..., bs, bs] * vort_c   # (..., npy, npx)
 
     # ---- vorticity transport & wind update (:402-489) ----
