@@ -192,13 +192,64 @@ def del2_cubed(q, cd, grid, topo, nmax, npx):
     return q
 
 
+def _kcoef(cfg, npz, dtype):
+    """Per-level damping coefficients/masks from the sponge bands
+    (dyn_core_nlm.F90:536-630), in single-trace masked form for d_sw."""
+    import numpy as np
+
+    bands = _sponge_bands(cfg, npz)
+    d2 = np.zeros(npz)
+    dv = np.zeros(npz)
+    dw = np.zeros(npz)
+    dtm = np.zeros(npz)
+    dcon = np.zeros(npz)
+    nord_k = np.zeros(npz, int)
+    nordv_k = np.zeros(npz, int)
+    nordt_k = np.zeros(npz, int)
+    nordw_k = np.zeros(npz, int)
+    for (k0, k1, pars) in bands:
+        d2[k0:k1] = pars["d2_divg"]
+        dv[k0:k1] = pars["damp_v"]
+        dw[k0:k1] = pars["damp_w"]
+        dtm[k0:k1] = pars["damp_t"]
+        dcon[k0:k1] = pars["d_con"]
+        nord_k[k0:k1] = pars["nord"]
+        nordv_k[k0:k1] = pars["nord_v"]
+        nordt_k[k0:k1] = pars["nord_t"]
+        nordw_k[k0:k1] = pars["nord_w"]
+
+    def a(x):
+        return jnp.asarray(x, dtype).reshape(npz, 1, 1, 1)
+
+    def m(x):
+        return jnp.asarray(x).reshape(npz, 1, 1, 1)
+
+    nv = min(2, cfg.nord)
+    return dict(
+        nord=cfg.nord, nord_v=nv, nord_t=nv, nord_w=nv,
+        dddmp=cfg.dddmp, d4_bg=cfg.d4_bg, d_con=cfg.d_con, ke_bg=cfg.ke_bg,
+        do_vort_damp=cfg.do_vort_damp,
+        d2_divg=a(d2), damp_v=a(dv), damp_w=a(dw), damp_t=a(dtm), dcon=a(dcon),
+        nord0=m(nord_k == 0), nordv0=m(nordv_k == 0),
+        nordt0=m(nordt_k == 0), nordw0=m(nordw_k == 0),
+    )
+
+
 def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
     """One mdt step = n_split acoustic sub-steps (hydrostatic).
 
     state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
     accumulators mfx, mfy, cx, cy.  Returns updated state plus pk/pe/peln/pkz
     from the final geopk for the vertical remap.
+
+    The n_split loop is a `lax.scan` with `jax.checkpoint` around the body —
+    the TPU-native equivalent of the reference's Tapenade push/pop trajectory
+    checkpointing at the acoustic-loop boundary (fv3jedi_lm_dynamics_mod.
+    F90:507-633): the adjoint recomputes each sub-step's interior instead of
+    storing it.
     """
+    import jax
+
     npx = cfg.npx
     n = npx - 1
     n_split = cfg.n_split
@@ -210,18 +261,28 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
     jb = jc + 1
     p = F2P
 
-    u, v, w = state["u"], state["v"], state["w"]
-    delp, pt = state["delp"], state["pt"]
-    uc, vc = state["uc"], state["vc"]
-    divgd = state["divgd"]
     phis = state["phis"]
-    mfx, mfy, cx, cy = state["mfx"], state["mfy"], state["cx"], state["cy"]
+    kcoef = _kcoef(cfg, npz, dtype)
+    lead = state["u"].shape[:-2]
 
-    pk = pe = peln = pkz = None
-    heat_source = jnp.zeros((npz,) + u.shape[1:-2] + (n, n), dtype)
+    carry = dict(
+        u=state["u"], v=state["v"], w=state["w"],
+        delp=state["delp"], pt=state["pt"],
+        uc=state["uc"], vc=state["vc"], divgd=state["divgd"],
+        mfx=state["mfx"], mfy=state["mfy"], cx=state["cx"], cy=state["cy"],
+        heat_source=jnp.zeros(lead + (n, n), dtype),
+        pe=jnp.zeros((npz + 1,) + lead[1:] + (jc, jc), dtype),
+        peln=jnp.zeros((npz + 1,) + lead[1:] + (jc, jc), dtype),
+        pk=jnp.zeros((npz + 1,) + lead[1:] + (jc, jc), dtype),
+        pkz=jnp.zeros(lead + (jc, jc), dtype),
+    )
 
-    for it in range(1, n_split + 1):
-        last = it == n_split
+    def substep(c, _):
+        u, v, w = c["u"], c["v"], c["w"]
+        delp, pt = c["delp"], c["pt"]
+        uc, vc, divgd = c["uc"], c["vc"], c["divgd"]
+        mfx, mfy, cx, cy = c["mfx"], c["mfy"], c["cx"], c["cy"]
+
         u, v = halo.fill_halo_dgrid(u, v, topo)
         if not cfg.hydrostatic:
             w = halo.fill_halo_center(w, topo)
@@ -237,43 +298,23 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
         uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
         uc, vc = halo.fill_halo_cgrid(uc, vc, topo)
 
-        # per-level sponge-configuration (dyn_core_nlm.F90:530-630)
-        # is applied by splitting the level range into bands with static
-        # coefficient sets; the LM default (n_sponge<0 analogue handled
-        # by caller passing uniform coefficients) uses k-uniform values
-        # except the top sponge bands below.
         if cfg.d_ext > 0.0:
             wk_dext = a2b_ord2(delp, grid)  # per-level B-grid delp
 
-        res = None
-        bands = _sponge_bands(cfg, npz)
-        outs = []
-        for (k0, k1, pars) in bands:
-            sl = slice(k0, k1)
-            r = d_sw(
-                delp[sl], pt[sl], u[sl], v[sl],
-                (w[sl] if not cfg.hydrostatic else w[sl]),
-                uc[sl], vc[sl], ua[sl], va[sl], divgd[sl],
-                mfx[sl], mfy[sl], cx[sl], cy[sl],
-                grid, topo, dt, npx,
-                pars["hord_mt"], pars["hord_vt"], pars["hord_tm"], pars["hord_dp"],
-                pars["nord"], pars["nord_v"], pars["nord_t"], pars["nord_w"],
-                cfg.dddmp, pars["d2_divg"], cfg.d4_bg,
-                pars["damp_v"], pars["damp_w"], pars["damp_t"], pars["d_con"],
-                cfg.ke_bg, cfg.hydrostatic,
-            )
-            outs.append(r)
-
-        def cat(key):
-            return jnp.concatenate([o[key] for o in outs], axis=0)
-
-        delp, pt, u, v = cat("delp"), cat("pt"), cat("u"), cat("v")
+        r = d_sw(
+            delp, pt, u, v, w, uc, vc, ua, va, divgd,
+            mfx, mfy, cx, cy,
+            grid, topo, dt, npx,
+            cfg.hord_mt, cfg.hord_vt, cfg.hord_tm, cfg.hord_dp,
+            kcoef, cfg.hydrostatic,
+        )
+        delp, pt, u, v = r["delp"], r["pt"], r["u"], r["v"]
         if not cfg.hydrostatic:
-            w = cat("w")
-        divgd = cat("divg_d")
-        divd_b = cat("divd_b")
-        mfx, mfy, cx, cy = cat("xflux"), cat("yflux"), cat("cx"), cat("cy")
-        heat_source = heat_source + cat("heat_source")
+            w = r["w"]
+        divgd = r["divg_d"]
+        divd_b = r["divd_b"]
+        mfx, mfy, cx, cy = r["xflux"], r["yflux"], r["cx"], r["cy"]
+        heat_source = c["heat_source"] + r["heat_source"]
 
         delp = halo.fill_halo_center(delp, topo)
         pt = halo.fill_halo_center(pt, topo)
@@ -283,19 +324,32 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
             d2_ext = cfg.d_ext * grid["da_min_c"]
             divg2 = _d_ext_divg2(wk_dext, divd_b, d2_ext, grid, npx)
         else:
-            divg2 = jnp.zeros(u.shape[1:-2] + (jb, jb), dtype)
+            divg2 = jnp.zeros(lead[1:] + (jb, jb), dtype)
 
         pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
-        if last:
-            pk = pkc
 
         u, v = one_grad_p(
             u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
         )
 
-        if last:
-            # prevent edge-rounding divergence between faces
-            u, v = halo.fix_shared_edges_dgrid(u, v, topo)
+        return dict(
+            u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,
+            mfx=mfx, mfy=mfy, cx=cx, cy=cy, heat_source=heat_source,
+            pe=pe, peln=peln, pk=pkc, pkz=pkz,
+        ), None
+
+    body = jax.checkpoint(substep, prevent_cse=False)
+    carry, _ = jax.lax.scan(body, carry, None, length=n_split)
+
+    u, v, w = carry["u"], carry["v"], carry["w"]
+    delp, pt = carry["delp"], carry["pt"]
+    uc, vc, divgd = carry["uc"], carry["vc"], carry["divgd"]
+    mfx, mfy, cx, cy = carry["mfx"], carry["mfy"], carry["cx"], carry["cy"]
+    heat_source = carry["heat_source"]
+    pe, peln, pk, pkz = carry["pe"], carry["peln"], carry["pk"], carry["pkz"]
+
+    # prevent edge-rounding divergence between faces (last sub-step only)
+    u, v = halo.fix_shared_edges_dgrid(u, v, topo)
 
     # damping heat source -> pt (dyn_core_nlm.F90:1051-1100), hydrostatic
     if cfg.d_con > 1.0e-5 and _n_con(cfg, npz) != 0:

@@ -121,26 +121,22 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     )
 
     mdt = bdt / cfg.k_split
-    for n_map in range(cfg.k_split):
-        last_step = n_map == cfg.k_split - 1
-        # empty flux capacitors (dyn_core_nlm.F90:260-266)
+
+    def remap_step(state, q, last_step):
+        """One k_split sub-step: acoustic core + tracer advection + remap."""
         state = dict(
             state,
+            # empty flux capacitors (dyn_core_nlm.F90:260-266)
             mfx=jnp.zeros(lead + (n, n + 1), dtype),
             mfy=jnp.zeros(lead + (n + 1, n), dtype),
             cx=jnp.zeros(lead + (jc, n + 1), dtype),
             cy=jnp.zeros(lead + (n + 1, jc), dtype),
-        )
-        dp1 = state["delp"]
-
-        state = dict(
-            state,
             delp=halo.fill_halo_center(state["delp"], topo),
             pt=halo.fill_halo_center(state["pt"], topo),
         )
         dp1 = state["delp"]
         state, vert = dyn_core(
-            state, q, grid, topo, cfg, mdt, akap, ptop, n_map == 0
+            state, q, grid, topo, cfg, mdt, akap, ptop, False
         )
 
         if len(q) > 0 and not cfg.inline_q:
@@ -154,6 +150,17 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
             state, q, vert = lagrangian_to_eulerian(
                 state, vert, q, grid, topo, cfg, ak, bk, akap, ptop, last_step
             )
+        return state, q
+
+    # checkpoint at the k_split (remap) boundary: the reference's
+    # cp_mod_ini/mid trajectory bracketing (fv3jedi_lm_dynamics_mod.F90:498-610)
+    import jax
+    mid = jax.checkpoint(
+        lambda s, qq: remap_step(s, qq, False), prevent_cse=False
+    )
+    for n_map in range(cfg.k_split - 1):
+        state, q = mid(state, q)
+    state, q = remap_step(state, q, True)
 
     # A-grid lat-lon diagnostics (fv_dynamics_nlm.F90:738-742)
     ua, va = c2l_ord4(state["u"], state["v"], grid, topo, npx, do_halo=True)

@@ -180,6 +180,21 @@ class CubeTopology:
                 assert (i2 >= 0).all() and (i2 < idim).all()
                 assert (j2 >= 0).all() and (j2 < jdim).all()
                 m[f][in_strip] = (f2 * jdim + j2) * idim + i2
+
+            # Corner-halo blocks have no source face (cube corners join only
+            # 3 faces).  The reference leaves stale-but-finite values there
+            # (never read by a correct operator); an identity map would keep
+            # them at 0 forever, and 0-thickness delp columns make 0/0 NaNs
+            # whose *adjoint* partials leak into compute cells (0 cotangent x
+            # NaN partial = NaN).  Map them to the nearest own-face valid
+            # cell instead: finite, positive, never consumed.
+            outside = (x < 0) | (x > n) | (y < 0) | (y > n)
+            corner_blk = outside & (m[f] == (f * jdim + jj) * idim + ii)
+            hi_i = idim - ng - 1
+            hi_j = jdim - ng - 1
+            ic = np.clip(ii[corner_blk], ng, hi_i)
+            jc_ = np.clip(jj[corner_blk], ng, hi_j)
+            m[f][corner_blk] = (f * jdim + jc_) * idim + ic
         return m.astype(np.int32)
 
     def halo_map_center(self):

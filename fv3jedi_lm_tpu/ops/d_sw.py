@@ -26,6 +26,19 @@ from .transport import fv_tp_2d
 
 R3 = 1.0 / 3.0
 NEAR_ZERO = 1.0e-9  # sw_core_nlm.F90:37
+
+
+def _del6_vt_flux_masked(nord_n, damps, mask0, q, grid, topo):
+    """del6_vt_flux at per-level order: order-0 on mask0 levels, nord_n
+    elsewhere (the sponge-band override of dyn_core_nlm.F90:536-630 in
+    single-trace masked form).  damps = (damp4 order-0, damp4 order-n),
+    each (npz,1,1,1)."""
+    d0, fx0, fy0 = del6_vt_flux(0, damps[0], q, grid, topo)
+    if nord_n == 0:
+        return d0, fx0, fy0
+    dn, fxn, fyn = del6_vt_flux(nord_n, damps[1], q, grid, topo)
+    return (jnp.where(mask0, d0, dn), jnp.where(mask0, fx0, fxn),
+            jnp.where(mask0, fy0, fyn))
 P1 = 7.0 / 12.0
 P2 = -1.0 / 12.0
 C1 = -2.0 / 14.0
@@ -322,17 +335,43 @@ def d_sw(
     xflux, yflux, cx, cy,
     grid, topo, dt, npx,
     hord_mt, hord_vt, hord_tm, hord_dp,
-    nord, nord_v, nord_t, nord_w,
-    dddmp, d2_bg, d4_bg, damp_v, damp_w, damp_t, d_con, kgb,
+    kcoef,
     hydrostatic,
 ):
-    """One D-grid forward (large-dt) step for a single vertical level batch.
+    """One D-grid forward (large-dt) step for the whole npz level batch.
 
     All prognostic fields are whole-array padded (leading dims broadcast the
     (npz,) level axis).  Returns a dict with updated fields, accumulated flux
     capacitors, advective courant/area fluxes for tracer transport, the saved
     B-grid divergence, and the heat source.  (sw_core_nlm.F90:492-1544.)
+
+    `kcoef` carries the per-level sponge-band damping configuration of
+    dyn_core_nlm.F90:536-630 in single-trace (masked) form instead of the
+    reference's per-k re-dispatch:
+      static ints/floats: nord, nord_v, nord_t, nord_w (the non-sponge
+        orders), dddmp, d4_bg, d_con, ke_bg; static bool do_vort_damp;
+      (npz,1,1,1) arrays: d2_divg, damp_v, damp_w, damp_t, dcon (per-level
+        d_con value); (npz,1,1,1) bool masks: nord0, nordv0, nordt0, nordw0
+        (True on levels where that damping drops to del-2/order-0).
     """
+    nord = kcoef["nord"]
+    nord_v = kcoef["nord_v"]
+    nord_t = kcoef["nord_t"]
+    nord_w = kcoef["nord_w"]
+    dddmp = kcoef["dddmp"]
+    d4_bg = kcoef["d4_bg"]
+    d_con = kcoef["d_con"]
+    kgb = kcoef["ke_bg"]
+    do_vort_damp = kcoef["do_vort_damp"]
+    d2_divg_k = kcoef["d2_divg"]
+    damp_v_k = kcoef["damp_v"]
+    damp_w_k = kcoef["damp_w"]
+    damp_t_k = kcoef["damp_t"]
+    dcon_k = kcoef["dcon"]
+    nord0_k = kcoef["nord0"]
+    nordv0_k = kcoef["nordv0"]
+    nordt0_k = kcoef["nordt0"]
+    nordw0_k = kcoef["nordw0"]
     n = npx - 1
     npy = npx
     jc = n + 2 * NG
@@ -764,9 +803,18 @@ def d_sw(
     # ---------------------------------------------------------------
     # delp / w / pt transport (:904-1032)
     # ---------------------------------------------------------------
+    if do_vort_damp:
+        da_min = grid["da_min"]
+        damp_vk = (damp_v_k * da_min, (damp_v_k * da_min) ** (nord_v + 1),
+                   nord_v, nordv0_k)
+        damp_tk = (damp_t_k * da_min, (damp_t_k * da_min) ** (nord_t + 1),
+                   nord_t, nordt0_k)
+    else:
+        damp_vk = damp_tk = None
+
     fx, fy = fv_tp_2d(
         delp, crx, cry, hord_dp, xfx, yfx, grid, topo, ra_x, ra_y,
-        nord=nord_v, damp_c=damp_v,
+        damp_k=damp_vk,
     )
 
     cx = cx + crx
@@ -778,10 +826,12 @@ def d_sw(
     dw = jnp.zeros(delp.shape[:-2] + (n, n), dtype)
     w_new = w
     if not hydrostatic:
-        if damp_w > 1.0e-5:
+        if kcoef.get("use_damp_w", True):
             dd8 = kgb * abs(dt)
-            damp4 = (damp_w * da_min_c) ** (nord_w + 1)
-            _, fx2w, fy2w = del6_vt_flux(nord_w, damp4, w, grid, topo)
+            _, fx2w, fy2w = _del6_vt_flux_masked(
+                nord_w, (damp_w_k * da_min_c, (damp_w_k * da_min_c) ** (nord_w + 1)),
+                nordw0_k, w, grid, topo,
+            )
             # dw = (fx2(i)-fx2(i+1) + fy2(j)-fy2(j+1)) * rarea on compute cells
             fxw_c = fx2w[..., cs, p(1):p(npx) + 1]
             fyw_c = fy2w[..., p(1):p(npy) + 1, cs]
@@ -801,7 +851,7 @@ def d_sw(
 
     gx, gy = fv_tp_2d(
         pt, crx, cry, hord_tm, xfx, yfx, grid, topo, ra_x, ra_y,
-        mfx=fx, mfy=fy, mass=delp, nord=nord_t, damp_c=damp_t,
+        mfx=fx, mfy=fy, mass=delp, damp_k=damp_tk,
     )
 
     delp_new = delp.at[..., cs, cs].add(
@@ -952,15 +1002,16 @@ def d_sw(
         w_new = w_new.at[..., cs, cs].set(
             w_new[..., cs, cs] / delp_new[..., cs, cs]
         )
-        if damp_w > 1.0e-5:
+        if kcoef.get("use_damp_w", True):
             w_new = w_new.at[..., cs, cs].add(dw)
 
     # ---------------------------------------------------------------
     # divergence damping (:1297-1432)
     # ---------------------------------------------------------------
     bs = SL(1, npx)
-    if nord == 0:
-        # del-2: compute B-grid divergence from covariant winds
+    if True:
+        # del-2: compute B-grid divergence from covariant winds.  Always
+        # evaluated (whole level batch); selected on nord0 (sponge) levels.
         ptc_s = jnp.zeros(u.shape[:-2] + (jb, jc), dtype)
         # rows j=1..npy, cols i=0..n+1
         csx = SL(0, n + 1)
@@ -1027,17 +1078,15 @@ def d_sw(
         )
         delpc_b = rarea_c[..., bs, bs] * delpc_b
         dampc = da_min_c * jnp.maximum(
-            d2_bg, jnp.minimum(0.20, dddmp * jnp.abs(delpc_b * dt))
+            d2_divg_k, jnp.minimum(0.20, dddmp * jnp.abs(delpc_b * dt))
         )
-        vort_b = dampc * delpc_b
-        ke = ke.at[..., bs, bs].add(vort_b)
-        divd_saved = jnp.zeros(u.shape[:-2] + (jb, jb), dtype).at[..., bs, bs].set(
-            delpc_b
-        )
-        divg_d_new = divg_d
-    else:
-        # higher-order divergence damping on divg_d
-        divd_saved = divg_d
+        vort_b0 = dampc * delpc_b
+        delpc_full = jnp.zeros(u.shape[:-2] + (jb, jb), dtype).at[
+            ..., bs, bs
+        ].set(delpc_b)
+
+    if nord > 0:
+        # higher-order divergence damping on divg_d (non-sponge levels)
         dd = divg_d
         n2 = nord + 1
         for nloop in range(1, nord + 1):
@@ -1085,14 +1134,26 @@ def d_sw(
             vort_sm = jnp.zeros(u.shape[:-2] + (npx, npx), dtype)
         else:
             wkb = a2b_ord4(wk, grid)
-            vort_sm = abs(dt) * jnp.sqrt(
-                divd_saved[..., bs, bs] ** 2 + wkb[..., bs, bs] ** 2
+            # safe sqrt: d(sqrt)/ds -> inf at s=0 poisons jvp/vjp tangents on
+            # resting trajectories; take subgradient 0 there (value unchanged)
+            sm2 = divg_d[..., bs, bs] ** 2 + wkb[..., bs, bs] ** 2
+            vort_sm = abs(dt) * jnp.where(
+                sm2 > 0.0, jnp.sqrt(jnp.where(sm2 > 0.0, sm2, 1.0)), 0.0
             )
         dd8 = (da_min_c * d4_bg) ** n2
-        damp2 = da_min_c * jnp.maximum(d2_bg, jnp.minimum(0.20, dddmp * vort_sm))
-        vort_b = damp2 * divd_saved[..., bs, bs] + dd8 * dd[..., bs, bs]
-        ke = ke.at[..., bs, bs].add(vort_b)
-        divg_d_new = dd
+        damp2 = da_min_c * jnp.maximum(
+            d2_divg_k, jnp.minimum(0.20, dddmp * vort_sm)
+        )
+        vort_bn = damp2 * divg_d[..., bs, bs] + dd8 * dd[..., bs, bs]
+        # per-level selection: sponge levels use the del-2 path
+        vort_b = jnp.where(nord0_k, vort_b0, vort_bn)
+        divd_saved = jnp.where(nord0_k, delpc_full, divg_d)
+        divg_d_new = jnp.where(nord0_k, divg_d, dd)
+    else:
+        vort_b = vort_b0
+        divd_saved = delpc_full
+        divg_d_new = divg_d
+    ke = ke.at[..., bs, bs].add(vort_b)
 
     # d_con damping-heat vectors (:1436-1448)
     if d_con > 1.0e-5:
@@ -1124,9 +1185,12 @@ def d_sw(
     )
 
     # vorticity damping (:1490-1494)
-    if damp_v > 1.0e-5:
-        damp4 = (damp_v * da_min_c) ** (nord_v + 1)
-        _, fx2d, fy2d = del6_vt_flux(nord_v, damp4, wk, grid, topo)
+    if do_vort_damp:
+        _, fx2d, fy2d = _del6_vt_flux_masked(
+            nord_v,
+            (damp_v_k * da_min_c, (damp_v_k * da_min_c) ** (nord_v + 1)),
+            nordv0_k, wk, grid, topo,
+        )
     else:
         fx2d = jnp.zeros(u.shape[:-2] + (jc, jb), dtype)
         fy2d = jnp.zeros(u.shape[:-2] + (jb, jc), dtype)
@@ -1139,7 +1203,7 @@ def d_sw(
         vb_h2 = (vb_h - fx2d[..., cs, bs]) * rdy[..., cs, bs]
         fx_h = v_new[..., cs, bs] * rdy[..., cs, bs]
         gx_h = fx_h * vb_h2
-        dampc2 = 0.25 * d_con
+        dampc2 = 0.25 * dcon_k
         u2 = fy_h[..., 0:n, :] + fy_h[..., 1:n + 1, :]
         du2 = ub_h2[..., 0:n, :] + ub_h2[..., 1:n + 1, :]
         v2 = fx_h[..., :, 0:n] + fx_h[..., :, 1:n + 1]
@@ -1161,7 +1225,7 @@ def d_sw(
         )
 
     # add diffusive fluxes to momentum (:1533-1543)
-    if damp_v > 1.0e-5:
+    if do_vort_damp:
         u_new = u_new.at[..., bs, cs].add(fy2d[..., bs, cs])
         v_new = v_new.at[..., cs, bs].add(-fx2d[..., cs, bs])
 

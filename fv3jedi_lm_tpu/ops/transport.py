@@ -27,7 +27,17 @@ from . import ppm
 
 
 def fv_tp_2d(q, crx, cry, hord, xfx, yfx, grid, topo, ra_x, ra_y,
-             mfx=None, mfy=None, mass=None, nord=None, damp_c=None):
+             mfx=None, mfy=None, mass=None, nord=None, damp_c=None,
+             damp_k=None):
+    """2-D PPM transport; optional del-n damping.
+
+    Damping is selected one of two ways:
+    * scalar `nord`/`damp_c` (static): the reference's per-call coefficients;
+    * `damp_k=(damp4_0_k, damp4_n_k, nord_n, nord0_mask)`: per-level damping
+      for the masked single-trace dyn_core path — damp4_* are (npz,1,1,1)
+      arrays, `nord0_mask` selects the del-2 variant per level (the sponge
+      override of dyn_core_nlm.F90:536-630).
+    """
     n = q.shape[-1] - 2 * NG
     ord_in = 8 if hord == 10 else hord
     ord_ou = hord
@@ -55,18 +65,34 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, grid, topo, ra_x, ra_y,
     if mfx is not None and mfy is not None:
         fx = 0.5 * (fx + fx2[..., NG:NG + n, :]) * mfx
         fy = 0.5 * (fy + fy2[..., :, NG:NG + n]) * mfy
-        if nord is not None and damp_c is not None and mass is not None:
+        if damp_k is not None:
+            fx, fy = _deln_flux_masked(damp_k, q_x, fx, fy, grid, topo, mass)
+        elif nord is not None and damp_c is not None and mass is not None:
             if damp_c > 1.0e-4:
                 damp = (damp_c * grid["da_min"]) ** (nord + 1)
                 fx, fy = deln_flux(nord, damp, q_x, fx, fy, grid, topo, mass=mass)
     else:
         fx = 0.5 * (fx + fx2[..., NG:NG + n, :]) * xfx[..., NG:NG + n, :]
         fy = 0.5 * (fy + fy2[..., :, NG:NG + n]) * yfx[..., :, NG:NG + n]
-        if nord is not None and damp_c is not None:
+        if damp_k is not None:
+            fx, fy = _deln_flux_masked(damp_k, q_x, fx, fy, grid, topo, None)
+        elif nord is not None and damp_c is not None:
             if damp_c > 1.0e-4:
                 damp = (damp_c * grid["da_min"]) ** (nord + 1)
                 fx, fy = deln_flux(nord, damp, q_x, fx, fy, grid, topo)
     return fx, fy
+
+
+def _deln_flux_masked(damp_k, q_x, fx, fy, grid, topo, mass):
+    """Per-level damping order/coefficient selection: evaluate the del-2 and
+    del-(2nord+2) diffusive fluxes once each (whole npz batch) and pick per
+    level — the single-trace equivalent of dyn_core's per-k sponge bands."""
+    damp4_0, damp4_n, nord_n, mask0 = damp_k
+    fx0, fy0 = deln_flux(0, damp4_0, q_x, fx, fy, grid, topo, mass=mass)
+    if nord_n == 0:
+        return fx0, fy0
+    fxn, fyn = deln_flux(nord_n, damp4_n, q_x, fx, fy, grid, topo, mass=mass)
+    return jnp.where(mask0, fx0, fxn), jnp.where(mask0, fy0, fyn)
 
 
 def _dx_flux(d2, del6_v, sign):
