@@ -27,6 +27,13 @@ def main():
     import jax
     import numpy as np
 
+    # persistent compilation cache — the c96L72 TLM+ADM graph is large;
+    # repeat bench runs (driver + tuning) should not pay compile again
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from fv3jedi_lm_tpu.config import DynConfig, LMConfig
     from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
 

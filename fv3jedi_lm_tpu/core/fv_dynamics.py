@@ -54,8 +54,12 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     pt = fv_mapz.map1_ppm(peln, pt, None, pn2, 1, kord_tm,
                           q_min=fv_mapz.T_MIN)
 
-    # tracers in p (map1_q2 / mapn_tracer, iv=0)
-    q = [fv_mapz.map1_ppm(pe, qq, None, pe2, 0, kord_tr) for qq in q]
+    # tracers in p (map1_q2 / mapn_tracer, iv=0) — one batched trace for all
+    import jax
+    qs = jax.vmap(
+        lambda qq: fv_mapz.map1_ppm(pe, qq, None, pe2, 0, kord_tr)
+    )(jnp.stack(q, axis=0))
+    q = [qs[i] for i in range(qs.shape[0])]
 
     # u on B rows: pe averaged between adjacent cell rows (:547-570)
     jc = delp.shape[-1]

@@ -21,7 +21,7 @@ from .. import NG
 from . import sphere
 from .topology import CubeTopology, get_topology
 
-BIG = 1.0e30
+BIG = 1.0e8   # big_number (fv_grid_utils_nlm.F90:49); 1e30 overflows f32 when squared
 TINY = 1.0e-8
 RADIUS = 6371.0e3  # reference src/utils/fv3jedi_lm_const_mod.F90
 

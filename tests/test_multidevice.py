@@ -1,0 +1,83 @@
+"""Multi-device sharding correctness (SURVEY.md section 4, section 5.8).
+
+Runs one full TLM+ADM step on the 8-virtual-CPU-device mesh set up by
+conftest (the 'fake backend' analogue of the reference's minimal 1-rank-per-
+tile MPI test layout, tools/fv_mp_nlm_mod.F90:285-600) and asserts the
+sharded result matches the single-device result.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LMConfig(
+        dyn=DynConfig(npx=9, npy=9, npz=5, n_split=1, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=2,
+                      dtype="float64"),
+        dt=450.0,
+    )
+    return LinearModel.create(cfg)
+
+
+@pytest.fixture(scope="module")
+def inputs(lm):
+    traj = lm.rest_traj()
+    rng = np.random.default_rng(0)
+    traj["t"] = traj["t"] + 2.0 * rng.standard_normal(traj["t"].shape)
+    prog = {k: jnp.asarray(traj[k]) for k in PROG_3D}
+    pert = {k: jnp.asarray(1e-3 * rng.standard_normal(v.shape))
+            for k, v in prog.items()}
+    return prog, traj["phis"], pert
+
+
+def _tlm_adm(lm):
+    def step(prog, phis, p):
+        out, dp = jax.jvp(lambda pr: lm._step_fn(pr, phis), (prog,), (p,))
+        _, pull = jax.vjp(lambda pr: lm._step_fn(pr, phis), prog)
+        pb = pull(dp)[0]
+        return out, dp, pb
+    return step
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_tlm_adm_matches_single_device(lm, inputs):
+    prog, phis, pert = inputs
+    step = _tlm_adm(lm)
+
+    # single device reference
+    ref = jax.jit(step)(prog, phis, pert)
+    ref = jax.tree_util.tree_map(np.asarray, ref)
+
+    # (face=2, y=4) mesh: center fields shard over both axes, staggered
+    # winds over 'face' only (their n+1 row/col is not 4-divisible)
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("face", "y"))
+    sh3 = NamedSharding(mesh, P(None, "face", "y", None))
+    sh3s = NamedSharding(mesh, P(None, "face", None, None))
+    sh2 = NamedSharding(mesh, P("face", "y", None))
+
+    def put(k, v):
+        return jax.device_put(v, sh3s if k in ("u", "v") else sh3)
+
+    prog_s = {k: put(k, v) for k, v in prog.items()}
+    pert_s = {k: put(k, v) for k, v in pert.items()}
+    phis_s = jax.device_put(phis, sh2)
+
+    with mesh:
+        out = jax.jit(step)(prog_s, phis_s, pert_s)
+    out = jax.tree_util.tree_map(np.asarray, out)
+
+    for got, want, name in zip(out, ref, ("nl", "tl", "ad")):
+        for k in PROG_3D:
+            np.testing.assert_allclose(
+                got[k], want[k], rtol=1e-12, atol=1e-12,
+                err_msg=f"{name}/{k}",
+            )
