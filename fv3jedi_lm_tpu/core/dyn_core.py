@@ -28,19 +28,21 @@ def geopk(ptop, delp, pt, hs, akap):
     pt is virtual potential temperature.  Computed on the full padded
     domain (valid wherever delp is valid).  Returns (pe, peln, pk, gz, pkz).
     """
-    km = delp.shape[0]
+    delp_s = jnp.maximum(delp, 1.0e-30)
     pe = jnp.concatenate(
         [jnp.full((1,) + delp.shape[1:], ptop, delp.dtype),
-         ptop + jnp.cumsum(delp, axis=0)],
+         ptop + jnp.cumsum(delp_s, axis=0)],
         axis=0,
     )
     peln = jnp.log(pe)
     pk = jnp.exp(akap * peln)
     dgz = CP_AIR * pt * (pk[1:] - pk[:-1])
-    # gz(k) = hs + sum_{k'>=k} dgz(k'); gz(km+1)=hs
     rev = jnp.cumsum(dgz[::-1], axis=0)[::-1]
     gz = jnp.concatenate([hs[None] + rev, hs[None]], axis=0)
-    pkz = (pk[1:] - pk[:-1]) / (akap * (peln[1:] - peln[:-1]))
+    dpeln = peln[1:] - peln[:-1]
+    ok = dpeln > 0.0
+    pkz = (pk[1:] - pk[:-1]) / (akap * jnp.where(ok, dpeln, 1.0))
+    pkz = jnp.where(ok, pkz, 1.0)
     return pe, peln, pk, gz, pkz
 
 
@@ -235,37 +237,14 @@ def _kcoef(cfg, npz, dtype):
     )
 
 
-def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
-    """One mdt step = n_split acoustic sub-steps (hydrostatic).
-
-    state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
-    accumulators mfx, mfy, cx, cy.  Returns updated state plus pk/pe/peln/pkz
-    from the final geopk for the vertical remap.
-
-    The n_split loop is a `lax.scan` with `jax.checkpoint` around the body —
-    the TPU-native equivalent of the reference's Tapenade push/pop trajectory
-    checkpointing at the acoustic-loop boundary (fv3jedi_lm_dynamics_mod.
-    F90:507-633): the adjoint recomputes each sub-step's interior instead of
-    storing it.
-    """
-    import jax
-
-    npx = cfg.npx
-    n = npx - 1
-    n_split = cfg.n_split
-    dt = dt_remap / n_split
-    dt2 = 0.5 * dt
-    dtype = state["u"].dtype
-    npz = state["delp"].shape[0]
+def acoustic_carry(state, cfg, npz, dtype):
+    """Initial acoustic-loop carry from the interface state (zeros the
+    per-mdt accumulators: heat source, and the vert block filled by the
+    final substep's geopk)."""
+    n = cfg.npx - 1
     jc = n + 2 * NG
-    jb = jc + 1
-    p = F2P
-
-    phis = state["phis"]
-    kcoef = _kcoef(cfg, npz, dtype)
     lead = state["u"].shape[:-2]
-
-    carry = dict(
+    return dict(
         u=state["u"], v=state["v"], w=state["w"],
         delp=state["delp"], pt=state["pt"],
         uc=state["uc"], vc=state["vc"], divgd=state["divgd"],
@@ -277,11 +256,29 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
         pkz=jnp.zeros(lead + (jc, jc), dtype),
     )
 
-    def substep(c, _):
+
+def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype):
+    """Build the pure one-acoustic-sub-step function substep(carry, consts).
+
+    consts = {"phis": padded surface geopotential}.  One sub-step =
+    halo(u,v) -> c_sw -> geopk(C) -> p_grad_c -> halo(uc,vc) -> d_sw ->
+    halo(delp,pt) -> geopk(D) -> one_grad_p (dyn_core_nlm.F90:288-1000).
+    """
+    npx = cfg.npx
+    n = npx - 1
+    dt = dt_remap / cfg.n_split
+    dt2 = 0.5 * dt
+    jc = n + 2 * NG
+    jb = jc + 1
+    kcoef = _kcoef(cfg, npz, dtype)
+
+    def substep(c, consts):
+        phis = consts["phis"]
         u, v, w = c["u"], c["v"], c["w"]
         delp, pt = c["delp"], c["pt"]
         uc, vc, divgd = c["uc"], c["vc"], c["divgd"]
         mfx, mfy, cx, cy = c["mfx"], c["mfy"], c["cx"], c["cy"]
+        lead = u.shape[:-2]
 
         u, v = halo.fill_halo_dgrid(u, v, topo)
         if not cfg.hydrostatic:
@@ -336,17 +333,20 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
             u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,
             mfx=mfx, mfy=mfy, cx=cx, cy=cy, heat_source=heat_source,
             pe=pe, peln=peln, pk=pkc, pkz=pkz,
-        ), None
+        )
 
-    body = jax.checkpoint(substep, prevent_cse=False)
-    carry, _ = jax.lax.scan(body, carry, None, length=n_split)
+    return substep
 
+
+def acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz):
+    """Post-acoustic-loop work (dyn_core_nlm.F90:935-1100): D-edge single
+    ownership fix + damping heat source into pt.  Returns (state, vert)."""
+    npx = cfg.npx
+    n = npx - 1
     u, v, w = carry["u"], carry["v"], carry["w"]
     delp, pt = carry["delp"], carry["pt"]
-    uc, vc, divgd = carry["uc"], carry["vc"], carry["divgd"]
-    mfx, mfy, cx, cy = carry["mfx"], carry["mfy"], carry["cx"], carry["cy"]
     heat_source = carry["heat_source"]
-    pe, peln, pk, pkz = carry["pe"], carry["peln"], carry["pk"], carry["pkz"]
+    pkz = carry["pkz"]
 
     # prevent edge-rounding divergence between faces (last sub-step only)
     u, v = halo.fix_shared_edges_dgrid(u, v, topo)
@@ -370,10 +370,50 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
         pt = pt.at[..., cs, cs].add(upd)
 
     state = dict(
-        state, u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,
-        mfx=mfx, mfy=mfy, cx=cx, cy=cy,
+        state, u=u, v=v, w=w, delp=delp, pt=pt,
+        uc=carry["uc"], vc=carry["vc"], divgd=carry["divgd"],
+        mfx=carry["mfx"], mfy=carry["mfy"], cx=carry["cx"], cy=carry["cy"],
     )
-    return state, dict(pk=pk, pe=pe, peln=peln, pkz=pkz)
+    vert = dict(pk=carry["pk"], pe=carry["pe"], peln=carry["peln"],
+                pkz=carry["pkz"])
+    return state, vert
+
+
+def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
+             use_ckpt=True):
+    """One mdt step = n_split acoustic sub-steps (hydrostatic).
+
+    state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
+    accumulators mfx, mfy, cx, cy.  Returns updated state plus pk/pe/peln/pkz
+    from the final geopk for the vertical remap.
+
+    use_ckpt=True runs the n_split loop through adcheckpoint.
+    checkpointed_scan — the reference's Tapenade push/pop trajectory
+    checkpointing at the acoustic-loop boundary (fv3jedi_lm_dynamics_mod.
+    F90:507-633).  The facade's staged TLM/ADM drive the exposed
+    acoustic_carry / make_acoustic_substep / acoustic_finish pieces directly.
+    """
+    import jax
+
+    dtype = state["u"].dtype
+    npz = state["delp"].shape[0]
+    phis = state["phis"]
+
+    substep = make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop,
+                                    npz, dtype)
+    carry = acoustic_carry(state, cfg, npz, dtype)
+
+    if use_ckpt:
+        from .adcheckpoint import checkpointed_scan
+        carry = checkpointed_scan(substep, cfg.n_split, carry,
+                                  dict(phis=phis))
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, _: (substep(c, dict(phis=phis)), None),
+            carry, None, length=cfg.n_split,
+        )
+
+    return acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz)
 
 
 def _n_con(cfg, npz):

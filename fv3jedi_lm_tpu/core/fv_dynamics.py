@@ -31,71 +31,85 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     vert: dict(pk, pe, peln, pkz) from the final geopk of dyn_core, full
     padded domain.  Returns (state, q, new vert).
     """
-    pe, peln, pk, pkz = vert["pe"], vert["peln"], vert["pk"], vert["pkz"]
+    pe, peln, pkz = vert["pe"], vert["peln"], vert["pkz"]
     pt, delp = state["pt"], state["delp"]
     u, v = state["u"], state["v"]
     npz = delp.shape[0]
+    npx = cfg.npx
+    npy = npx
+    n = npx - 1
     kord_tm = abs(cfg.kord_tm)
     kord_tr = cfg.kord_tr
     kord_mt = cfg.kord_mt
 
-    # theta_v -> virtual temperature (fv_mapz_nlm.F90:206-214)
-    pt = pt * pkz
+    # Remap only the lanes that are actually defined: the compute domain for
+    # cell fields, plus the one valid (non-corner) halo ring the staggered
+    # edge rows need.  The padded halo/corner lanes of `vert` are garbage
+    # (they come from geopk over undefined delp) — never feeding them into
+    # the PPM profile divisions is what keeps fwd/jvp/vjp NaN-free
+    # independent of the grid sentinel magnitude.
+    p = F2P
+    cs = SL(1, n)
 
-    ps = pe[-1]
+    pe_c = pe[..., cs, cs]
+    peln_c = peln[..., cs, cs]
+    ps_c = pe_c[-1]
     akx = ak.reshape((npz + 1,) + (1,) * (pe.ndim - 1))
     bkx = bk.reshape((npz + 1,) + (1,) * (pe.ndim - 1))
-    pe2 = akx + bkx * ps[None]
-    pn2 = jnp.log(pe2)
-    pk2 = jnp.exp(akap * pn2)
-    delp_new = pe2[1:] - pe2[:-1]
+    pe2_c = akx + bkx * ps_c[None]
+    pn2_c = jnp.log(pe2_c)
+    pk2_c = jnp.exp(akap * pn2_c)
 
-    # remap virtual T in log(p) (map_scalar, iv=1)
-    pt = fv_mapz.map1_ppm(peln, pt, None, pn2, 1, kord_tm,
-                          q_min=fv_mapz.T_MIN)
+    # theta_v -> virtual temperature, remapped in log(p) (map_scalar, iv=1;
+    # fv_mapz_nlm.F90:206-214, 367-400)
+    pt_c = fv_mapz.map1_ppm(peln_c, pt[..., cs, cs] * pkz[..., cs, cs],
+                            None, pn2_c, 1, kord_tm, q_min=fv_mapz.T_MIN)
 
     # tracers in p (map1_q2 / mapn_tracer, iv=0) — one batched trace for all
     import jax
     qs = jax.vmap(
-        lambda qq: fv_mapz.map1_ppm(pe, qq, None, pe2, 0, kord_tr)
+        lambda qq: fv_mapz.map1_ppm(pe_c, qq[..., cs, cs], None, pe2_c, 0,
+                                    kord_tr)
     )(jnp.stack(q, axis=0))
-    q = [qs[i] for i in range(qs.shape[0])]
+    q = [q[i].at[..., cs, cs].set(qs[i]) for i in range(qs.shape[0])]
 
-    # u on B rows: pe averaged between adjacent cell rows (:547-570)
-    jc = delp.shape[-1]
-    pe_u = 0.5 * (pe[..., 0:jc - 1, :] + pe[..., 1:jc, :])
-    ps_u = pe_u[-1]
-    pe3_u = akx + 0.5 * bkx * (ps[None][..., 0:jc - 1, :] + ps[None][..., 1:jc, :])
-    u_mid = fv_mapz.map1_ppm(pe_u, u[..., 1:jc, :], None, pe3_u, -1, kord_mt)
-    u = u.at[..., 1:jc, :].set(u_mid)
+    # u on B rows 1..npy: pe averaged between adjacent cell rows (:547-570);
+    # the j-1/j cell rows for the shared-edge B rows are valid edge halo.
+    rm = slice(p(0), p(npy - 1) + 1)   # cell rows j-1, j=1..npy
+    r0 = slice(p(1), p(npy) + 1)       # cell rows j
+    bsl = slice(p(1), p(npy) + 1)      # B rows 1..npy
+    pe_u = 0.5 * (pe[..., rm, cs] + pe[..., r0, cs])
+    pe3_u = akx + 0.5 * bkx * (pe[-1][None][..., rm, cs] + pe[-1][None][..., r0, cs])
+    u_mid = fv_mapz.map1_ppm(pe_u, u[..., bsl, cs], None, pe3_u, -1, kord_mt)
+    u = u.at[..., bsl, cs].set(u_mid)
 
-    pe_v = 0.5 * (pe[..., :, 0:jc - 1] + pe[..., :, 1:jc])
-    pe3_v = akx + 0.5 * bkx * (ps[None][..., :, 0:jc - 1] + ps[None][..., :, 1:jc])
-    v_mid = fv_mapz.map1_ppm(pe_v, v[..., :, 1:jc], None, pe3_v, -1, kord_mt)
-    v = v.at[..., :, 1:jc].set(v_mid)
+    pe_v = 0.5 * (pe[..., cs, rm] + pe[..., cs, r0])
+    pe3_v = akx + 0.5 * bkx * (pe[-1][None][..., cs, rm] + pe[-1][None][..., cs, r0])
+    v_mid = fv_mapz.map1_ppm(pe_v, v[..., cs, bsl], None, pe3_v, -1, kord_mt)
+    v = v.at[..., cs, bsl].set(v_mid)
 
-    pkz_new = (pk2[1:] - pk2[:-1]) / (akap * (pn2[1:] - pn2[:-1]))
+    pkz_new_c = (pk2_c[1:] - pk2_c[:-1]) / (akap * (pn2_c[1:] - pn2_c[:-1]))
 
     if last_step:
         # virtual T -> T (consv_te=0 => dtmp=0), fv_mapz_nlm.F90:857-892
-        sphum = q[0]
-        pt = pt / (1.0 + ZVIR * sphum)
+        pt_c = pt_c / (1.0 + ZVIR * qs[0])
     else:
         # back to theta_v
-        pt = pt / pkz_new
+        pt_c = pt_c / pkz_new_c
 
-    state = dict(state, pt=pt, delp=delp_new, u=u, v=v, ps=ps)
-    vert = dict(pe=pe2, peln=pn2, pk=pk2, pkz=pkz_new)
+    pt = pt.at[..., cs, cs].set(pt_c)
+    delp = delp.at[..., cs, cs].set(pe2_c[1:] - pe2_c[:-1])
+    ps = state.get("ps", jnp.zeros_like(pe[-1])).at[..., cs, cs].set(ps_c)
+
+    state = dict(state, pt=pt, delp=delp, u=u, v=v, ps=ps)
+    vert = dict(pe=pe2_c, peln=pn2_c, pk=pk2_c, pkz=pkz_new_c)
     return state, q, vert
 
 
-def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
-    """One nonlinear model step of bdt seconds (hydrostatic).
-
-    state: u, v, w, pt (TEMPERATURE in/out), delp, phis (+ scratch C winds).
-    q: list of tracers, q[0] = specific humidity.
-    Returns (state, q) with pt back in temperature and ua/va diagnostics.
-    """
+def prep_stage(state, q, grid, topo, cfg, ptop):
+    """Entry marshalling (traj_to_fv3 analogue): halo fills, entry pressures,
+    T -> theta_v, zeroed scratch winds/capacitors (fv_dynamics_nlm.F90:
+    397-430 + fv3jedi_lm_dynamics_mod.F90:717-809)."""
     npx = cfg.npx
     n = npx - 1
     akap = KAPPA
@@ -122,31 +136,90 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
         uc=jnp.zeros(lead + (jc, jb), dtype),
         vc=jnp.zeros(lead + (jb, jc), dtype),
         divgd=jnp.zeros(lead + (jb, jb), dtype),
+        # pre-populate loop-carried fields so the k_split carry pytree has a
+        # fixed structure
+        mfx=jnp.zeros(lead + (n, n + 1), dtype),
+        mfy=jnp.zeros(lead + (n + 1, n), dtype),
+        cx=jnp.zeros(lead + (jc, n + 1), dtype),
+        cy=jnp.zeros(lead + (n + 1, jc), dtype),
+        ps=jnp.zeros(lead[1:] + (jc, jc), dtype),
     )
+    return state, q
+
+
+def pre_acoustic_stage(state, grid, topo, cfg):
+    """Start of one k_split sub-step: reset flux capacitors, refresh delp/pt
+    halos (dyn_core_nlm.F90:260-266 + fv_dynamics_nlm.F90:459-467).
+    Returns (state', dp1)."""
+    npx = cfg.npx
+    n = npx - 1
+    npz = state["delp"].shape[0]
+    dtype = state["u"].dtype
+    jc = n + 2 * NG
+    lead = (npz, state["delp"].shape[1])
+    state = dict(
+        state,
+        mfx=jnp.zeros(lead + (n, n + 1), dtype),
+        mfy=jnp.zeros(lead + (n + 1, n), dtype),
+        cx=jnp.zeros(lead + (jc, n + 1), dtype),
+        cy=jnp.zeros(lead + (n + 1, jc), dtype),
+        delp=halo.fill_halo_center(state["delp"], topo),
+        pt=halo.fill_halo_center(state["pt"], topo),
+    )
+    return state, state["delp"]
+
+
+def post_acoustic_stage(state, carry, q, dp1, grid, topo, cfg, ak, bk, ptop,
+                        mdt, last_step):
+    """End of one k_split sub-step: acoustic_finish + tracer transport +
+    vertical remap (fv_dynamics_nlm.F90:534-633)."""
+    from .dyn_core import acoustic_finish
+
+    npx = cfg.npx
+    npz = state["delp"].shape[0]
+    akap = KAPPA
+    state, vert = acoustic_finish(state, carry, grid, topo, cfg, mdt, npz)
+
+    if len(q) > 0 and not cfg.inline_q:
+        q = tracer_2d(
+            q, dp1, state["mfx"], state["mfy"], state["cx"], state["cy"],
+            grid, topo, cfg, npx, cfg.hord_tr,
+            nord_tr=cfg.nord_tr, trdm=cfg.trdm2,
+        )
+
+    if npz > 4:
+        state, q, vert = lagrangian_to_eulerian(
+            state, vert, q, grid, topo, cfg, ak, bk, akap, ptop, last_step
+        )
+    return state, q
+
+
+def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop, use_ckpt=True):
+    """One nonlinear model step of bdt seconds (hydrostatic).
+
+    state: u, v, w, pt (TEMPERATURE in/out), delp, phis (+ scratch C winds).
+    q: list of tracers, q[0] = specific humidity.
+    Returns (state, q) with pt back in temperature.
+    """
+    akap = KAPPA
+    npz = state["delp"].shape[0]
+
+    state, q = prep_stage(state, q, grid, topo, cfg, ptop)
 
     mdt = bdt / cfg.k_split
 
     def remap_step(state, q, last_step):
         """One k_split sub-step: acoustic core + tracer advection + remap."""
-        state = dict(
-            state,
-            # empty flux capacitors (dyn_core_nlm.F90:260-266)
-            mfx=jnp.zeros(lead + (n, n + 1), dtype),
-            mfy=jnp.zeros(lead + (n + 1, n), dtype),
-            cx=jnp.zeros(lead + (jc, n + 1), dtype),
-            cy=jnp.zeros(lead + (n + 1, jc), dtype),
-            delp=halo.fill_halo_center(state["delp"], topo),
-            pt=halo.fill_halo_center(state["pt"], topo),
-        )
-        dp1 = state["delp"]
+        state, dp1 = pre_acoustic_stage(state, grid, topo, cfg)
         state, vert = dyn_core(
-            state, q, grid, topo, cfg, mdt, akap, ptop, False
+            state, q, grid, topo, cfg, mdt, akap, ptop, False,
+            use_ckpt=use_ckpt,
         )
 
         if len(q) > 0 and not cfg.inline_q:
             q = tracer_2d(
                 q, dp1, state["mfx"], state["mfy"], state["cx"], state["cy"],
-                grid, topo, cfg, npx, cfg.hord_tr,
+                grid, topo, cfg, cfg.npx, cfg.hord_tr,
                 nord_tr=cfg.nord_tr, trdm=cfg.trdm2,
             )
 
@@ -156,17 +229,26 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
             )
         return state, q
 
-    # checkpoint at the k_split (remap) boundary: the reference's
-    # cp_mod_ini/mid trajectory bracketing (fv3jedi_lm_dynamics_mod.F90:498-610)
-    import jax
-    mid = jax.checkpoint(
-        lambda s, qq: remap_step(s, qq, False), prevent_cse=False
-    )
-    for n_map in range(cfg.k_split - 1):
-        state, q = mid(state, q)
+    # trajectory checkpointing at the k_split (remap) boundary — the
+    # reference's cp_mod_ini/mid bracketing (fv3jedi_lm_dynamics_mod.
+    # F90:498-610), expressed as a stored-carry scan (adcheckpoint).
+    if cfg.k_split > 1:
+        if use_ckpt:
+            from .adcheckpoint import checkpointed_scan
+
+            def kbody(c, _consts):
+                s, qq = c
+                s, qq = remap_step(s, qq, False)
+                return (s, qq)
+
+            state, q = checkpointed_scan(kbody, cfg.k_split - 1, (state, q), {})
+        else:
+            for _ in range(cfg.k_split - 1):
+                state, q = remap_step(state, q, False)
     state, q = remap_step(state, q, True)
 
-    # A-grid lat-lon diagnostics (fv_dynamics_nlm.F90:738-742)
-    ua, va = c2l_ord4(state["u"], state["v"], grid, topo, npx, do_halo=True)
-    state = dict(state, ua=ua, va=va)
+    # NOTE: the reference computes ua/va lat-lon diagnostics here
+    # (cubed_to_latlon, fv_dynamics_nlm.F90:738-742); they are inputs to the
+    # physics, not part of the dynamical prognostic state, so the facade
+    # computes them via c2l_ord4 only when physics is enabled.
     return state, q

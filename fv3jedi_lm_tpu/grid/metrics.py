@@ -21,7 +21,12 @@ from .. import NG
 from . import sphere
 from .topology import CubeTopology, get_topology
 
-BIG = 1.0e8   # big_number (fv_grid_utils_nlm.F90:49); 1e30 overflows f32 when squared
+#: Sentinel for undefined (ghost corner / face-edge) metric lanes, the
+#: reference's big_number (fv_grid_utils_nlm.F90:49).  The compute path is
+#: structurally masked so sentinel lanes are never *read* — any magnitude
+#: works (tests run both 1e8 and 1e30); 1e8 is the default because 1e30
+#: overflows f32 when squared on the TPU bench path.
+BIG = 1.0e30
 TINY = 1.0e-8
 RADIUS = 6371.0e3  # reference src/utils/fv3jedi_lm_const_mod.F90
 
@@ -153,7 +158,9 @@ class GridMetrics:
     ec2: np.ndarray = None
 
 
-def build_grid(npx: int, ng: int = NG, radius: float = RADIUS) -> GridMetrics:
+def build_grid(npx: int, ng: int = NG, radius: float = RADIUS,
+               big: float = BIG) -> GridMetrics:
+    BIG = big  # noqa: N806 — sentinel magnitude, see module docstring
     topo = get_topology(npx, ng)
     n = npx - 1
     g = GridMetrics(npx=npx, ng=ng, topo=topo)
@@ -533,4 +540,13 @@ def build_grid(npx: int, ng: int = NG, radius: float = RADIUS) -> GridMetrics:
         g.a12 = -0.25 * z12 / det
         g.a21 = -0.25 * z21 / det
         g.a22 = 0.25 * z11 / det
+
+    # No metric array may hold a non-finite value: Inf/NaN in never-read
+    # sentinel lanes still poisons whole-array ops through 0*NaN (forward)
+    # and the where-vjp rule (backward).  Undefined lanes become 0.
+    for f in dataclasses.fields(g):
+        v = getattr(g, f.name)
+        if isinstance(v, np.ndarray) and v.dtype.kind == "f":
+            setattr(g, f.name, np.nan_to_num(v, nan=0.0, posinf=0.0,
+                                             neginf=0.0))
     return g

@@ -56,11 +56,11 @@ class LinearModel:
     there is no mutable module state to set up or tear down.
     """
 
-    def __init__(self, cfg: LMConfig, ak=None, bk=None):
+    def __init__(self, cfg: LMConfig, ak=None, bk=None, big=None):
         self.cfg = cfg
         dyn = cfg.dyn
         self.dtype = jnp.dtype(dyn.dtype)
-        gm = build_grid(dyn.npx)
+        gm = build_grid(dyn.npx) if big is None else build_grid(dyn.npx, big=big)
         self.topo = gm.topo
         self.grid = to_device(gm, dtype=self.dtype)
         if ak is None:
@@ -71,13 +71,15 @@ class LinearModel:
         self._jit_nl = None
         self._jit_tl = None
         self._jit_ad = None
+        self._stepper = None
+        self._traj_cache = None
 
     # -- construction helpers ------------------------------------------------
 
     @classmethod
-    def create(cls, cfg: LMConfig, ak=None, bk=None) -> "LinearModel":
+    def create(cls, cfg: LMConfig, ak=None, bk=None, big=None) -> "LinearModel":
         """Reference `create(dt,npx,npy,npz,ptop,ak,bk)` (fv3jedi_lm_mod.F90:44)."""
-        return cls(cfg, ak, bk)
+        return cls(cfg, ak, bk, big=big)
 
     def zero_pert(self) -> dict:
         """Allocate-and-zero a perturbation (allocate_pert,
@@ -151,24 +153,50 @@ class LinearModel:
             out[name] = qq[:, :, cs, cs]
         return out
 
-    # -- the pure one-step function -------------------------------------------
-
-    def _step_fn(self, prog: dict, phis: jnp.ndarray) -> dict:
-        """One model step dt on compute-domain prognostic fields (pure)."""
+    def _pad_phis(self, phis):
         dyn = self.cfg.dyn
-        st, q = self._pad(prog)
         jc = dyn.nx + 2 * NG
         phis_p = jnp.zeros((6, jc, jc), self.dtype)
         phis_p = phis_p.at[:, NG:NG + dyn.nx, NG:NG + dyn.nx].set(
             phis.astype(self.dtype)
         )
-        phis_p = halo.fill_halo_center(phis_p, self.topo)
-        st["phis"] = phis_p
+        return halo.fill_halo_center(phis_p, self.topo)
+
+    # -- the pure one-step function -------------------------------------------
+
+    def _step_fn(self, prog: dict, phis: jnp.ndarray, use_ckpt=True) -> dict:
+        """One model step dt on compute-domain prognostic fields (pure).
+
+        The single-executable path (NLM + the multi-device dryrun).  The
+        production TLM/ADM run the same stage functions through the staged
+        driver (core/staged.py) instead, so that both linearize at identical
+        stored trajectory checkpoints."""
+        dyn = self.cfg.dyn
+        st, q = self._pad(prog)
+        st["phis"] = self._pad_phis(phis)
         st, q = fv_dynamics(
             st, q, self.grid, self.topo, dyn, self.cfg.dt,
-            self.ak, self.bk, self.ptop,
+            self.ak, self.bk, self.ptop, use_ckpt=use_ckpt,
         )
         return self._unpad(st, q)
+
+    def _staged(self):
+        if self._stepper is None:
+            from .core.staged import StagedStepper
+            self._stepper = StagedStepper(self)
+        return self._stepper
+
+    def _ckpts(self, traj):
+        """Per-trajectory stage-input checkpoints, cached by traj identity —
+        the reference's `saveltraj` local-trajectory cache analogue
+        (fv3jedi_lm_utils_mod.F90:30, turbulence/...:180-187)."""
+        key = id(traj)
+        if self._traj_cache is not None and self._traj_cache[0] == key:
+            return self._traj_cache[1]
+        prog = {k: traj[k] for k in PROG_3D}
+        _, cks = self._staged().forward(prog, traj["phis"])
+        self._traj_cache = (key, cks)
+        return cks
 
     # -- public stepping API ---------------------------------------------------
 
@@ -185,31 +213,25 @@ class LinearModel:
     def step_tl(self, traj: dict, pert: dict) -> dict:
         """Tangent-linear step: pert' = M(traj) @ pert (fv3jedi_lm_mod.F90:161).
 
-        Exact jvp of the discrete nonlinear step; the trajectory output is
-        discarded, as in the reference (fv3jedi_lm_dynamics_mod.F90:448).
+        Per-stage jvp of the discrete nonlinear step, linearized at the
+        STORED trajectory checkpoints (core/staged.py).  The adjoint
+        linearizes the same stages at the same stored values, which is what
+        keeps <M dx, dy> == <dx, M^T dy> at machine precision.  The
+        trajectory output is discarded, as in the reference
+        (fv3jedi_lm_dynamics_mod.F90:448).
         """
-        if self._jit_tl is None:
-            def tl(prog, phis, p):
-                _, dp = jax.jvp(lambda pr: self._step_fn(pr, phis), (prog,), (p,))
-                return dp
-            self._jit_tl = jax.jit(tl)
         prog = {k: traj[k] for k in PROG_3D}
         p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
-        return self._jit_tl(prog, traj["phis"], p)
+        return self._staged().tl(prog, traj["phis"], p, cks=self._ckpts(traj))
 
     def step_ad(self, traj: dict, pert_ad: dict) -> dict:
         """Adjoint step: pert_bar = M(traj)^T @ pert_ad (fv3jedi_lm_mod.F90:176).
 
-        vjp of the same step the TLM differentiates, so <M dx, dy> ==
-        <dx, M^T dy> holds to machine precision by construction (the
-        reference's contract, enforced there by 35k lines of Tapenade
-        adjoint code in model_tlmadm/*_adm.F90 + adStack checkpointing).
-        """
-        if self._jit_ad is None:
-            def ad(prog, phis, pb):
-                _, pull = jax.vjp(lambda pr: self._step_fn(pr, phis), prog)
-                return pull(pb)[0]
-            self._jit_ad = jax.jit(ad)
+        Per-stage vjp at the stored trajectory checkpoints — the reference's
+        fwd-recompute/PUSH + bwd-sweep/POP design (fv3jedi_lm_dynamics_mod.
+        F90:507-633), where the reference needs 135k lines of hand-curated
+        Tapenade adjoint sweeps (model_tlmadm/*_adm.F90) + the adStack
+        runtime for the same contract."""
         prog = {k: traj[k] for k in PROG_3D}
         pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
-        return self._jit_ad(prog, traj["phis"], pb)
+        return self._staged().ad(prog, traj["phis"], pb, cks=self._ckpts(traj))
