@@ -117,16 +117,41 @@ class DynConfig:
     split_damp: bool = True
     nord_pert: int = 1
     dddmp_pert: float = 0.2
-    d2_bg_pert: float = 0.0
-    d4_bg_pert: float = 0.16
-    do_vort_damp_pert: bool = False
-    vtdm4_pert: float = 0.0
+    d2_bg_pert: float = 0.015
+    d4_bg_pert: float = 0.150
+    do_vort_damp_pert: bool = True
+    vtdm4_pert: float = 0.0005
+    d2_bg_k1_pert: float = 4.0       # sponge del-2 coeff, k=1 (fv_arrays_tlmadm.F90:84)
+    d2_bg_k2_pert: float = 2.0       # k=2
+    d2_bg_ks_pert: float = 2.0       # 3 <= k <= n_sponge_pert
     split_damp_tr: bool = True
     nord_tr_pert: int = 0
     trdm2_pert: float = 0.0
 
     # --- precision ---
     dtype: str = "float64"   # reference is REAL64 (-r8); use float32 for perf runs
+
+    def resolve(self) -> "DynConfig":
+        """Apply the split_* coupling: unless split, the TRAJECTORY adopts
+        the perturbation coefficients (fv_control_tlmadm.F90:220-252)."""
+        kw = {}
+        if not self.split_damp:
+            kw.update(nord=self.nord_pert, dddmp=self.dddmp_pert,
+                      d2_bg=self.d2_bg_pert, d4_bg=self.d4_bg_pert,
+                      do_vort_damp=self.do_vort_damp_pert,
+                      vtdm4=self.vtdm4_pert,
+                      d2_bg_k1=self.d2_bg_k1_pert,
+                      d2_bg_k2=self.d2_bg_k2_pert)
+        if not self.split_damp_tr:
+            kw.update(nord_tr=self.nord_tr_pert, trdm2=self.trdm2_pert)
+        if not self.split_hord:
+            kw.update(hord_mt=self.hord_mt_pert, hord_vt=self.hord_vt_pert,
+                      hord_tm=self.hord_tm_pert, hord_dp=self.hord_dp_pert,
+                      hord_tr=self.hord_tr_pert)
+        if not self.split_kord:
+            kw.update(kord_mt=self.kord_mt_pert, kord_wz=self.kord_wz_pert,
+                      kord_tm=self.kord_tm_pert, kord_tr=self.kord_tr_pert)
+        return self.replace(**kw) if kw else self
 
     @property
     def nx(self) -> int:

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .. import NG
 from ..constants import CP as CP_AIR
+from ..core.freeze import fabs, fbool, fmax, fmin, fsign_mul
 from ..ops.a2b_edge import a2b_ord2, a2b_ord4
 from ..ops.d_sw import d_sw
 from ..ops.sw_core import F2P, SL, c_sw
@@ -28,7 +29,7 @@ def geopk(ptop, delp, pt, hs, akap):
     pt is virtual potential temperature.  Computed on the full padded
     domain (valid wherever delp is valid).  Returns (pe, peln, pk, gz, pkz).
     """
-    delp_s = jnp.maximum(delp, 1.0e-30)
+    delp_s = fmax(delp, 1.0e-30)
     pe = jnp.concatenate(
         [jnp.full((1,) + delp.shape[1:], ptop, delp.dtype),
          ptop + jnp.cumsum(delp_s, axis=0)],
@@ -40,7 +41,7 @@ def geopk(ptop, delp, pt, hs, akap):
     rev = jnp.cumsum(dgz[::-1], axis=0)[::-1]
     gz = jnp.concatenate([hs[None] + rev, hs[None]], axis=0)
     dpeln = peln[1:] - peln[:-1]
-    ok = dpeln > 0.0
+    ok = fbool(dpeln > 0.0)
     pkz = (pk[1:] - pk[:-1]) / (akap * jnp.where(ok, dpeln, 1.0))
     pkz = jnp.where(ok, pkz, 1.0)
     return pe, peln, pk, gz, pkz
@@ -237,6 +238,93 @@ def _kcoef(cfg, npz, dtype):
     )
 
 
+def _kcoef_pert(cfg, npz, dtype):
+    """Per-level PERTURBATION damping coefficients (dyn_core_tlm.F90:835-920).
+
+    Mirrors the reference's per-k pert-damping cascade: nord_pert del-nord
+    damping with d2_divg_pert = min(0.20, d2_bg_pert) outside the pert
+    sponge; inside (k <= n_sponge_pert) nord drops to 0 with the
+    d2_bg_k1/k2/ks_pert cascade, nord_w drops to 0 with damp_w = d2, and
+    vorticity damping becomes del-2 with damp_v = 0.5*d2.  nord_t/damp_t
+    keep their non-sponge values (set before the override in the
+    reference)."""
+    import numpy as np
+
+    nsp = cfg.n_sponge_pert
+    nv = min(2, cfg.nord_pert)
+    base_damp = cfg.vtdm4_pert if cfg.do_vort_damp_pert else 0.0
+    d2 = np.empty(npz)
+    dv = np.empty(npz)
+    dw = np.empty(npz)
+    dtm = np.full(npz, base_damp)
+    nord_k = np.empty(npz, int)
+    nordv_k = np.empty(npz, int)
+    nordw_k = np.empty(npz, int)
+    nordt_k = np.full(npz, nv, int)
+    for k0 in range(npz):
+        k = k0 + 1  # Fortran level
+        nord_k[k0] = cfg.nord_pert
+        nordv_k[k0] = nv
+        nordw_k[k0] = nv
+        d2k = min(0.20, cfg.d2_bg_pert)
+        dv[k0] = base_damp
+        dw[k0] = base_damp
+        if k <= nsp:
+            nord_k[k0] = 0
+            dref = (cfg.d2_bg_k1_pert if k == 1
+                    else cfg.d2_bg_k2_pert if k == 2
+                    else cfg.d2_bg_ks_pert)
+            if cfg.d2_bg_pert > 0.01:
+                d2k = max(cfg.d2_bg_pert, dref)
+            elif dref > 0.01:
+                d2k = dref
+            else:
+                d2k = 0.01
+            nordw_k[k0] = 0
+            dw[k0] = d2k
+            if cfg.do_vort_damp_pert:
+                nordv_k[k0] = 0
+                dv[k0] = 0.5 * d2k
+        d2[k0] = d2k
+
+    # traj d_con per-level values ride along (no pert d_con in the reference)
+    dcon = _kcoef(cfg, npz, dtype)["dcon"]
+
+    def a(x):
+        return jnp.asarray(x, dtype).reshape(npz, 1, 1, 1)
+
+    def m(x):
+        return jnp.asarray(x).reshape(npz, 1, 1, 1)
+
+    return dict(
+        nord=cfg.nord_pert, nord_v=nv, nord_t=nv, nord_w=nv,
+        dddmp=cfg.dddmp_pert, d4_bg=cfg.d4_bg_pert, d_con=cfg.d_con,
+        ke_bg=cfg.ke_bg, do_vort_damp=cfg.do_vort_damp_pert,
+        d2_divg=a(d2), damp_v=a(dv), damp_w=a(dw), damp_t=a(dtm),
+        dcon=dcon,
+        nord0=m(nord_k == 0), nordv0=m(nordv_k == 0),
+        nordt0=m(nordt_k == 0), nordw0=m(nordw_k == 0),
+    )
+
+
+def _pert_hords(cfg, npz):
+    """Per-variable pert advection options with the sponge-layer override
+    (dyn_core_tlm.F90:861-875): k <= n_sponge_pert-1 uses hord_*_ks_pert."""
+    import numpy as np
+
+    mask = jnp.asarray(
+        (np.arange(npz) + 1 <= cfg.n_sponge_pert - 1).reshape(npz, 1, 1, 1)
+    )
+    def h(main):
+        if cfg.n_sponge_pert > 1 and main != cfg.hord_ks_pert:
+            return (main, cfg.hord_ks_pert, mask)
+        return main
+    return dict(
+        hord_mt=h(cfg.hord_mt_pert), hord_vt=h(cfg.hord_vt_pert),
+        hord_tm=h(cfg.hord_tm_pert), hord_dp=h(cfg.hord_dp_pert),
+    )
+
+
 def acoustic_carry(state, cfg, npz, dtype):
     """Initial acoustic-loop carry from the interface state (zeros the
     per-mdt accumulators: heat source, and the vert block filled by the
@@ -257,13 +345,24 @@ def acoustic_carry(state, cfg, npz, dtype):
     )
 
 
-def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype):
+def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
+                          mode="traj"):
     """Build the pure one-acoustic-sub-step function substep(carry, consts).
 
     consts = {"phis": padded surface geopotential}.  One sub-step =
     halo(u,v) -> c_sw -> geopk(C) -> p_grad_c -> halo(uc,vc) -> d_sw ->
     halo(delp,pt) -> geopk(D) -> one_grad_p (dyn_core_nlm.F90:288-1000).
+
+    mode="traj": the nonlinear model's substep.
+    mode="mixed": the TLM/ADM linearization target — d_sw runs BOTH the
+    trajectory scheme and the perturbation scheme (hord_*_pert, pert
+    damping, pert sponge override) and combines them with
+    freeze.mix_primal: primal follows the traj scheme, derivatives the
+    pert scheme.  This reproduces the reference's split linearization
+    (dyn_core_tlm.F90:835-960, sw_core_tlm.F90:1664-1687).
     """
+    from .freeze import mix_primal
+
     npx = cfg.npx
     n = npx - 1
     dt = dt_remap / cfg.n_split
@@ -271,6 +370,15 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype):
     jc = n + 2 * NG
     jb = jc + 1
     kcoef = _kcoef(cfg, npz, dtype)
+    mix_hord = mode == "mixed" and cfg.split_hord
+    mix_damp = mode == "mixed" and cfg.split_damp
+    if mix_hord or mix_damp:
+        hords_p = (_pert_hords(cfg, npz) if mix_hord else dict(
+            hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+            hord_tm=cfg.hord_tm, hord_dp=cfg.hord_dp))
+        kcoef_p = _kcoef_pert(cfg, npz, dtype) if mix_damp else kcoef
+    else:
+        hords_p = kcoef_p = None
 
     def substep(c, consts):
         phis = consts["phis"]
@@ -298,13 +406,21 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype):
         if cfg.d_ext > 0.0:
             wk_dext = a2b_ord2(delp, grid)  # per-level B-grid delp
 
+        dsw_args = (delp, pt, u, v, w, uc, vc, ua, va, divgd,
+                    mfx, mfy, cx, cy, grid, topo, dt, npx)
         r = d_sw(
-            delp, pt, u, v, w, uc, vc, ua, va, divgd,
-            mfx, mfy, cx, cy,
-            grid, topo, dt, npx,
+            *dsw_args,
             cfg.hord_mt, cfg.hord_vt, cfg.hord_tm, cfg.hord_dp,
             kcoef, cfg.hydrostatic,
         )
+        if hords_p is not None:
+            r_p = d_sw(
+                *dsw_args,
+                hords_p["hord_mt"], hords_p["hord_vt"],
+                hords_p["hord_tm"], hords_p["hord_dp"],
+                kcoef_p, cfg.hydrostatic,
+            )
+            r = mix_primal(r, r_p)
         delp, pt, u, v = r["delp"], r["pt"], r["u"], r["v"]
         if not cfg.hydrostatic:
             w = r["w"]
@@ -364,7 +480,7 @@ def acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz):
         upd = jnp.where(
             kidx < 3,
             dtmp,
-            jnp.sign(dtmp) * jnp.minimum(delt, jnp.abs(dtmp)),
+            fsign_mul(dtmp, fmin(delt, fabs(dtmp))),
         ) / pkz[..., cs, cs]
         upd = jnp.where(kidx < n_con, upd, 0.0)
         pt = pt.at[..., cs, cs].add(upd)
@@ -379,19 +495,16 @@ def acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz):
     return state, vert
 
 
-def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
-             use_ckpt=True):
+def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
     """One mdt step = n_split acoustic sub-steps (hydrostatic).
 
     state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
     accumulators mfx, mfy, cx, cy.  Returns updated state plus pk/pe/peln/pkz
     from the final geopk for the vertical remap.
 
-    use_ckpt=True runs the n_split loop through adcheckpoint.
-    checkpointed_scan — the reference's Tapenade push/pop trajectory
-    checkpointing at the acoustic-loop boundary (fv3jedi_lm_dynamics_mod.
-    F90:507-633).  The facade's staged TLM/ADM drive the exposed
-    acoustic_carry / make_acoustic_substep / acoustic_finish pieces directly.
+    The TLM/ADM do not differentiate through this function: the facade's
+    staged driver (core/staged.py) drives the exposed acoustic_carry /
+    make_acoustic_substep / acoustic_finish pieces at stored checkpoints.
     """
     import jax
 
@@ -403,15 +516,10 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
                                     npz, dtype)
     carry = acoustic_carry(state, cfg, npz, dtype)
 
-    if use_ckpt:
-        from .adcheckpoint import checkpointed_scan
-        carry = checkpointed_scan(substep, cfg.n_split, carry,
-                                  dict(phis=phis))
-    else:
-        carry, _ = jax.lax.scan(
-            lambda c, _: (substep(c, dict(phis=phis)), None),
-            carry, None, length=cfg.n_split,
-        )
+    carry, _ = jax.lax.scan(
+        lambda c, _: (substep(c, dict(phis=phis)), None),
+        carry, None, length=cfg.n_split,
+    )
 
     return acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz)
 
@@ -431,7 +539,8 @@ def _d_ext_divg2(delp_b, divd_b, d2_ext, grid, npx):
     outside B 1..npx, so the quotient is masked there)."""
     wk = jnp.sum(delp_b, axis=0)
     dv = jnp.sum(delp_b * divd_b, axis=0)
-    return jnp.where(wk > 0.0, d2_ext * dv / jnp.where(wk > 0.0, wk, 1.0), 0.0)
+    wkpos = fbool(wk > 0.0)
+    return jnp.where(wkpos, d2_ext * dv / jnp.where(wkpos, wk, 1.0), 0.0)
 
 
 def _sponge_bands(cfg, npz):

@@ -24,7 +24,8 @@ from .tracer2d import tracer_2d
 
 
 def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
-                           akap, ptop, last_step, consv_te=0.0):
+                           akap, ptop, last_step, consv_te=0.0,
+                           mode="traj"):
     """Vertical remap back to the Eulerian hybrid coordinate
     (fv_mapz_nlm.F90:60-960, remap_option=0 'remap T in logP', hydrostatic).
 
@@ -41,6 +42,17 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     kord_tm = abs(cfg.kord_tm)
     kord_tr = cfg.kord_tr
     kord_mt = cfg.kord_mt
+
+    # reference split remap linearization (fv_mapz_tlm.F90:571-830): when
+    # split_kord, each map1_ppm runs the PERT kord for the tangent on a
+    # throwaway primal and the traj kord for the primal -> mix_primal.
+    from .freeze import mix_primal
+
+    def remap_mix(kord_t, kord_p, call):
+        out = call(kord_t)
+        if mode == "mixed" and cfg.split_kord and kord_p != kord_t:
+            out = mix_primal(out, call(kord_p))
+        return out
 
     # Remap only the lanes that are actually defined: the compute domain for
     # cell fields, plus the one valid (non-corner) halo ring the staggered
@@ -62,15 +74,27 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
 
     # theta_v -> virtual temperature, remapped in log(p) (map_scalar, iv=1;
     # fv_mapz_nlm.F90:206-214, 367-400)
-    pt_c = fv_mapz.map1_ppm(peln_c, pt[..., cs, cs] * pkz[..., cs, cs],
-                            None, pn2_c, 1, kord_tm, q_min=fv_mapz.T_MIN)
+    pt_c = remap_mix(kord_tm, abs(cfg.kord_tm_pert), lambda kd:
+                     fv_mapz.map1_ppm(peln_c, pt[..., cs, cs] * pkz[..., cs, cs],
+                                      None, pn2_c, 1, kd, q_min=fv_mapz.T_MIN))
 
     # tracers in p (map1_q2 / mapn_tracer, iv=0) — one batched trace for all
     import jax
-    qs = jax.vmap(
-        lambda qq: fv_mapz.map1_ppm(pe_c, qq[..., cs, cs], None, pe2_c, 0,
-                                    kord_tr)
-    )(jnp.stack(q, axis=0))
+
+    from . import freeze
+    if freeze.active() or mode == "mixed":
+        # deterministic per-tracer tape order (see tracer2d)
+        qs = jnp.stack([
+            remap_mix(kord_tr, cfg.kord_tr_pert, lambda kd, qq=qq:
+                      fv_mapz.map1_ppm(pe_c, qq[..., cs, cs], None, pe2_c,
+                                       0, kd))
+            for qq in q
+        ], axis=0)
+    else:
+        qs = jax.vmap(
+            lambda qq: fv_mapz.map1_ppm(pe_c, qq[..., cs, cs], None, pe2_c, 0,
+                                        kord_tr)
+        )(jnp.stack(q, axis=0))
     q = [q[i].at[..., cs, cs].set(qs[i]) for i in range(qs.shape[0])]
 
     # u on B rows 1..npy: pe averaged between adjacent cell rows (:547-570);
@@ -80,12 +104,16 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     bsl = slice(p(1), p(npy) + 1)      # B rows 1..npy
     pe_u = 0.5 * (pe[..., rm, cs] + pe[..., r0, cs])
     pe3_u = akx + 0.5 * bkx * (pe[-1][None][..., rm, cs] + pe[-1][None][..., r0, cs])
-    u_mid = fv_mapz.map1_ppm(pe_u, u[..., bsl, cs], None, pe3_u, -1, kord_mt)
+    u_mid = remap_mix(kord_mt, cfg.kord_mt_pert, lambda kd:
+                      fv_mapz.map1_ppm(pe_u, u[..., bsl, cs], None, pe3_u,
+                                       -1, kd))
     u = u.at[..., bsl, cs].set(u_mid)
 
     pe_v = 0.5 * (pe[..., cs, rm] + pe[..., cs, r0])
     pe3_v = akx + 0.5 * bkx * (pe[-1][None][..., cs, rm] + pe[-1][None][..., cs, r0])
-    v_mid = fv_mapz.map1_ppm(pe_v, v[..., cs, bsl], None, pe3_v, -1, kord_mt)
+    v_mid = remap_mix(kord_mt, cfg.kord_mt_pert, lambda kd:
+                      fv_mapz.map1_ppm(pe_v, v[..., cs, bsl], None, pe3_v,
+                                       -1, kd))
     v = v.at[..., cs, bsl].set(v_mid)
 
     pkz_new_c = (pk2_c[1:] - pk2_c[:-1]) / (akap * (pn2_c[1:] - pn2_c[:-1]))
@@ -170,10 +198,15 @@ def pre_acoustic_stage(state, grid, topo, cfg):
 
 
 def post_acoustic_stage(state, carry, q, dp1, grid, topo, cfg, ak, bk, ptop,
-                        mdt, last_step):
+                        mdt, last_step, mode="traj"):
     """End of one k_split sub-step: acoustic_finish + tracer transport +
-    vertical remap (fv_dynamics_nlm.F90:534-633)."""
+    vertical remap (fv_dynamics_nlm.F90:534-633).
+
+    mode="mixed" applies the split-pert linearization to the tracer
+    transport (hord_tr_pert / split_damp_tr, fv_tracer2d_tlm.F90:39-43) and
+    to each remap call (split_kord) via freeze.mix_primal."""
     from .dyn_core import acoustic_finish
+    from .freeze import mix_primal
 
     npx = cfg.npx
     npz = state["delp"].shape[0]
@@ -181,20 +214,32 @@ def post_acoustic_stage(state, carry, q, dp1, grid, topo, cfg, ak, bk, ptop,
     state, vert = acoustic_finish(state, carry, grid, topo, cfg, mdt, npz)
 
     if len(q) > 0 and not cfg.inline_q:
-        q = tracer_2d(
-            q, dp1, state["mfx"], state["mfy"], state["cx"], state["cy"],
-            grid, topo, cfg, npx, cfg.hord_tr,
-            nord_tr=cfg.nord_tr, trdm=cfg.trdm2,
-        )
+        def tr(hord, nord_t, trdm):
+            return tracer_2d(
+                q, dp1, state["mfx"], state["mfy"], state["cx"], state["cy"],
+                grid, topo, cfg, npx, hord, nord_tr=nord_t, trdm=trdm,
+            )
+        q_t = tr(cfg.hord_tr, cfg.nord_tr, cfg.trdm2)
+        mix_tr = mode == "mixed" and (
+            (cfg.split_hord and cfg.hord_tr_pert != cfg.hord_tr)
+            or (cfg.split_damp_tr and (cfg.nord_tr_pert != cfg.nord_tr
+                                       or cfg.trdm2_pert != cfg.trdm2)))
+        if mix_tr:
+            hord_p = cfg.hord_tr_pert if cfg.split_hord else cfg.hord_tr
+            nord_p = cfg.nord_tr_pert if cfg.split_damp_tr else cfg.nord_tr
+            trdm_p = cfg.trdm2_pert if cfg.split_damp_tr else cfg.trdm2
+            q_t = mix_primal(q_t, tr(hord_p, nord_p, trdm_p))
+        q = q_t
 
     if npz > 4:
         state, q, vert = lagrangian_to_eulerian(
-            state, vert, q, grid, topo, cfg, ak, bk, akap, ptop, last_step
+            state, vert, q, grid, topo, cfg, ak, bk, akap, ptop, last_step,
+            mode=mode,
         )
     return state, q
 
 
-def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop, use_ckpt=True):
+def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     """One nonlinear model step of bdt seconds (hydrostatic).
 
     state: u, v, w, pt (TEMPERATURE in/out), delp, phis (+ scratch C winds).
@@ -213,7 +258,6 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop, use_ckpt=True):
         state, dp1 = pre_acoustic_stage(state, grid, topo, cfg)
         state, vert = dyn_core(
             state, q, grid, topo, cfg, mdt, akap, ptop, False,
-            use_ckpt=use_ckpt,
         )
 
         if len(q) > 0 and not cfg.inline_q:
@@ -229,22 +273,8 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop, use_ckpt=True):
             )
         return state, q
 
-    # trajectory checkpointing at the k_split (remap) boundary — the
-    # reference's cp_mod_ini/mid bracketing (fv3jedi_lm_dynamics_mod.
-    # F90:498-610), expressed as a stored-carry scan (adcheckpoint).
-    if cfg.k_split > 1:
-        if use_ckpt:
-            from .adcheckpoint import checkpointed_scan
-
-            def kbody(c, _consts):
-                s, qq = c
-                s, qq = remap_step(s, qq, False)
-                return (s, qq)
-
-            state, q = checkpointed_scan(kbody, cfg.k_split - 1, (state, q), {})
-        else:
-            for _ in range(cfg.k_split - 1):
-                state, q = remap_step(state, q, False)
+    for _ in range(cfg.k_split - 1):
+        state, q = remap_step(state, q, False)
     state, q = remap_step(state, q, True)
 
     # NOTE: the reference computes ua/va lat-lon diagnostics here

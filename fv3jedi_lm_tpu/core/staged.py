@@ -1,46 +1,51 @@
-"""Staged TLM/ADM driver: the reference's fwd-sweep / bwd-sweep architecture.
+"""Checkpointed split-linearization TLM/ADM driver.
 
-The reference adjoint runs a forward recompute that PUSHes per-substep
-trajectory state, then a reverse sweep that POPs it (fv3jedi_lm_dynamics_mod.
-F90:507-633, utils/tapenade/adStack.c).  Here the model step is decomposed
-into STAGES (prep -> [pre-acoustic -> n_split x substep -> post-acoustic] x
-k_split -> unpad), each compiled ONCE as its own XLA executable:
+The reference's TLM/ADM architecture (fv3jedi_lm_dynamics_mod.F90:347-633):
 
-* `forward` runs the nonlinear step and returns the stage inputs — the
-  trajectory checkpoints (the "push");
-* `tl` propagates a tangent through per-stage `jax.jvp` AT THE STORED
-  INPUTS;
-* `ad` pulls a cotangent back through per-stage `jax.vjp` AT THE SAME
-  STORED INPUTS.
+* the adjoint runs a forward sweep that recomputes the trajectory and
+  PUSHes per-substep state + control-flow bits to the Tapenade stack, then
+  a reverse sweep that POPs them;
+* when the split_* options are on (the production default), the tangent is
+  NOT the derivative of the trajectory scheme: each advection/remap/damping
+  operator runs its linear perturbation variant (hord_*_pert=2,
+  kord_*_pert=17, pert damping) for the tangent while the trajectory keeps
+  its own scheme (dyn_core_tlm.F90:835-960, fv_mapz_tlm.F90:571-830).
 
-Because TL and AD linearize every stage at bitwise-identical concrete
-values, the dot-product identity <M dx, dy> == <dx, M^T dy> holds to the
-rounding of the dot products themselves.  This is the property the
-reference gets from Tapenade's PUSH/POP discipline; `jax.checkpoint`-style
-rematerialization loses it (the remat recompute may round an ulp apart from
-the primal, flipping monotone-limiter branches — measured at 1e-4).
+TPU-native equivalents here:
 
-Peak memory: the stored carries (one interface state per acoustic substep)
-plus one stage's vjp residuals — the reference's Tapenade-stack cost model.
+* `forward` — one jitted program: the nonlinear step, additionally
+  returning every stage input (the per-k_split interface states and the
+  per-acoustic-substep carries, stacked along a scan axis) — the "push".
+* `record` — one jitted program: runs the MIXED (traj-primal /
+  pert-tangent) stages at the stored checkpoints under `freeze.recording`,
+  returning every branch decision (upwind masks, limiter switches, remap
+  indices) as arrays — the reference's PUSHCONTROL bits, stored as data.
+* `tl` / `ad` — single jitted programs applying `jax.jvp` / `jax.vjp` of
+  the mixed stages AT the stored checkpoints, with all branch decisions
+  replayed from the tape.  Because TL and AD consume bitwise-identical
+  linearization points AND branch decisions, `<M dx, dy> == <dx, M^T dy>`
+  holds to the rounding of the applications (~1e-13), immune to XLA
+  compiling the two programs differently.
+
+Memory model = the reference's Tapenade-stack model: O(n_split * k_split)
+carries + tapes per trajectory step, plus one stage's vjp residuals.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import KAPPA
+from . import freeze
 from .dyn_core import acoustic_carry, make_acoustic_substep
 from .fv_dynamics import (post_acoustic_stage, pre_acoustic_stage,
                           prep_stage)
 
 
-def _tree_add(a, b):
-    return jax.tree.map(jnp.add, a, b)
-
-
 class StagedStepper:
-    """Builds and caches the per-stage executables for one LinearModel."""
+    """Builds and caches the forward/record/tl/ad executables for one LM."""
 
     def __init__(self, lm):
         self.lm = lm
@@ -66,15 +71,14 @@ class StagedStepper:
             carry = acoustic_carry(st2, dyn, npz, dtype)
             return st2, dp1, carry
 
-        substep = make_acoustic_substep(grid, topo, dyn, mdt, KAPPA, ptop,
-                                        npz, dtype)
+        self._sub_traj = make_acoustic_substep(
+            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="traj")
+        self._sub_mix = make_acoustic_substep(
+            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="mixed")
 
-        def sub(carry, phis_p):
-            return substep(carry, dict(phis=phis_p))
-
-        def post(st2, carry, q, dp1, last):
+        def post(st2, carry, q, dp1, last, mode):
             return post_acoustic_stage(st2, carry, q, dp1, grid, topo, dyn,
-                                       ak, bk, ptop, mdt, last)
+                                       ak, bk, ptop, mdt, last, mode=mode)
 
         def unpad(st, q):
             return lm._unpad(st, q)
@@ -107,128 +111,127 @@ class StagedStepper:
                  for name in TRACERS]
             return st, q
 
-        self._stages = dict(prep=prep, pre=pre, sub=sub, unpad=unpad,
-                            unpad_T=unpad_T,
-                            post_mid=lambda *a: post(*a, False),
-                            post_last=lambda *a: post(*a, True))
-
-        # ---- executables (compiled lazily on first use) ----
+        self._stages = dict(prep=prep, pre=pre, post=post, unpad=unpad,
+                            unpad_T=unpad_T)
         self._exe = {}
 
-    def _get(self, name, builder):
+    def _get(self, name, fn):
         if name not in self._exe:
-            self._exe[name] = jax.jit(builder())
+            self._exe[name] = jax.jit(fn)
         return self._exe[name]
 
-    # -- primal / checkpoints ------------------------------------------------
+    # -- forward: NL step + checkpoints ("push") -----------------------------
 
-    def _fwd_builder(self):
+    def _forward_fn(self, prog, phis):
         s = self._stages
-        k_split, n_split = self.k_split, self.n_split
+        st, q = s["prep"](prog, phis)
+        pre_in, carries, carry_fin = [], [], []
+        for k in range(self.k_split):
+            pre_in.append((st, q))
+            st2, dp1, carry = s["pre"](st)
 
-        def fwd(prog, phis):
-            st, q = s["prep"](prog, phis)
-            pre_in, carries, carry_fin = [], [], []
-            for k in range(k_split):
-                pre_in.append((st, q))
-                st2, dp1, carry = s["pre"](st)
-                cj = []
-                for _ in range(n_split):
-                    cj.append(carry)
-                    carry = s["sub"](carry, st2["phis"])
-                carries.append(cj)
-                carry_fin.append(carry)
-                post = s["post_last"] if k == k_split - 1 else s["post_mid"]
-                st, q = post(st2, carry, q, dp1)
-            out = s["unpad"](st, q)
-            return out, dict(pre_in=pre_in, carries=carries,
-                             carry_fin=carry_fin)
+            def body(c, _):
+                return self._sub_traj(c, dict(phis=st2["phis"])), c
 
-        return lambda: fwd
+            carry, cstack = lax.scan(body, carry, None, length=self.n_split)
+            carries.append(cstack)
+            carry_fin.append(carry)
+            st, q = s["post"](st2, carry, q, dp1, k == self.k_split - 1,
+                              "traj")
+        out = s["unpad"](st, q)
+        return out, dict(pre_in=pre_in, carries=carries, carry_fin=carry_fin)
 
     def forward(self, prog, phis):
-        """NL step + trajectory checkpoints (every stage input)."""
-        return self._get("fwd", self._fwd_builder())(prog, phis)
+        return self._get("fwd", self._forward_fn)(prog, phis)
 
-    # -- tangent-linear -------------------------------------------------------
+    # -- record: branch-decision tapes ("push control") ----------------------
 
-    def tl(self, prog, phis, p, cks=None):
+    def _record_fn(self, cks):
         s = self._stages
-        if cks is None:
-            _, cks = self.forward(prog, phis)
-
-        prep_jvp = self._get("prep_jvp", lambda: (
-            lambda pr, ph, tp: jax.jvp(
-                s["prep"], (pr, ph), (tp, jnp.zeros_like(ph)))[1]))
-        pre_exe = self._get("pre", lambda: s["pre"])
-        pre_jvp = self._get("pre_jvp", lambda: (
-            lambda st, t: jax.jvp(s["pre"], (st,), (t,))[1]))
-        sub_jvp = self._get("sub_jvp", lambda: (
-            lambda c, ph, tc, tph: jax.jvp(
-                s["sub"], (c, ph), (tc, tph))[1]))
-
-        def mk_post_jvp(last):
-            post = s["post_last"] if last else s["post_mid"]
-            return lambda st2, cf, q, dp1, t: jax.jvp(
-                post, (st2, cf, q, dp1), t)[1]
-
-        post_jvp = {
-            True: self._get("post_jvp_T", lambda: mk_post_jvp(True)),
-            False: self._get("post_jvp_F", lambda: mk_post_jvp(False)),
-        }
-        unpad_jvp = self._get("unpad_jvp", lambda: s["unpad"])  # linear slicing
-
-        t_st, t_q = prep_jvp(prog, phis, p)
+        sub_tapes, post_tapes = [], []
         for k in range(self.k_split):
-            st_k, q_k = cks["pre_in"][k]
-            st2, dp1, _ = pre_exe(st_k)           # pure data movement
-            t_st2, t_dp1, t_carry = pre_jvp(st_k, t_st)
-            for j in range(self.n_split):
-                t_carry = sub_jvp(cks["carries"][k][j], st2["phis"],
-                                  t_carry, t_st2["phis"])
+            st, q = cks["pre_in"][k]
+            st2, dp1, _ = s["pre"](st)
+
+            def body(_, c):
+                with freeze.recording() as tape:
+                    self._sub_mix(c, dict(phis=st2["phis"]))
+                return None, list(tape)
+
+            _, tstack = lax.scan(body, None, cks["carries"][k])
+            sub_tapes.append(tstack)
+            with freeze.recording() as tape:
+                s["post"](st2, cks["carry_fin"][k], q, dp1,
+                          k == self.k_split - 1, "mixed")
+            post_tapes.append(list(tape))
+        return dict(sub=sub_tapes, post=post_tapes)
+
+    def record(self, cks):
+        return self._get("rec", self._record_fn)(cks)
+
+    # -- tangent linear -------------------------------------------------------
+
+    def _tl_fn(self, prog, phis, cks, tapes, p):
+        s = self._stages
+        zph = jnp.zeros_like(phis)
+        t_st, t_q = jax.jvp(s["prep"], (prog, phis), (p, zph))[1]
+        for k in range(self.k_split):
+            st, q = cks["pre_in"][k]
+            st2, dp1, _ = s["pre"](st)
+            t_st2, t_dp1, t_carry = jax.jvp(s["pre"], (st,), (t_st,))[1]
+
+            def body(tc, x):
+                c_j, tape_j = x
+                with freeze.replaying(tape_j):
+                    tc = jax.jvp(self._sub_mix,
+                                 (c_j, dict(phis=st2["phis"])),
+                                 (tc, dict(phis=t_st2["phis"])))[1]
+                return tc, None
+
+            t_carry, _ = lax.scan(body, t_carry,
+                                  (cks["carries"][k], tapes["sub"][k]))
             last = k == self.k_split - 1
-            t_st, t_q = post_jvp[last](st2, cks["carry_fin"][k], q_k, dp1,
-                                       (t_st2, t_carry, t_q, t_dp1))
-        return unpad_jvp(t_st, t_q)
+            with freeze.replaying(tapes["post"][k]):
+                t_st, t_q = jax.jvp(
+                    lambda a, b, c, d: s["post"](a, b, c, d, last, "mixed"),
+                    (st2, cks["carry_fin"][k], q, dp1),
+                    (t_st2, t_carry, t_q, t_dp1))[1]
+        return s["unpad"](t_st, t_q)
+
+    def tl(self, prog, phis, p, cks, tapes):
+        return self._get("tl", self._tl_fn)(prog, phis, cks, tapes, p)
 
     # -- adjoint --------------------------------------------------------------
 
-    def ad(self, prog, phis, pb, cks=None):
+    def _ad_fn(self, prog, phis, cks, tapes, pb):
         s = self._stages
-        if cks is None:
-            _, cks = self.forward(prog, phis)
-
-        pre_exe = self._get("pre", lambda: s["pre"])
-        unpad_T = self._get("unpad_T", lambda: s["unpad_T"])
-        sub_vjp = self._get("sub_vjp", lambda: (
-            lambda c, ph, ct: jax.vjp(s["sub"], c, ph)[1](ct)))
-        pre_vjp = self._get("pre_vjp", lambda: (
-            lambda st, ct: jax.vjp(s["pre"], st)[1](ct)[0]))
-
-        def mk_post_vjp(last):
-            post = s["post_last"] if last else s["post_mid"]
-            return lambda st2, cf, q, dp1, ct: jax.vjp(
-                post, st2, cf, q, dp1)[1](ct)
-
-        post_vjp = {
-            True: self._get("post_vjp_T", lambda: mk_post_vjp(True)),
-            False: self._get("post_vjp_F", lambda: mk_post_vjp(False)),
-        }
-        prep_vjp = self._get("prep_vjp", lambda: (
-            lambda pr, ph, ct: jax.vjp(s["prep"], pr, ph)[1](ct)[0]))
-
-        # seed: transpose of the final unpad (slice -> scatter into zeros)
-        ct_st, ct_q = unpad_T(pb)
-
+        ct_st, ct_q = s["unpad_T"](pb)
         for k in reversed(range(self.k_split)):
-            st_k, q_k = cks["pre_in"][k]
-            st2, dp1, _ = pre_exe(st_k)
+            st, q = cks["pre_in"][k]
+            st2, dp1, _ = s["pre"](st)
             last = k == self.k_split - 1
-            ct_st2, ct_carry, ct_q, ct_dp1 = post_vjp[last](
-                st2, cks["carry_fin"][k], q_k, dp1, (ct_st, ct_q))
-            for j in reversed(range(self.n_split)):
-                ct_carry, ct_phis = sub_vjp(cks["carries"][k][j],
-                                            st2["phis"], ct_carry)
-                ct_st2 = dict(ct_st2, phis=ct_st2["phis"] + ct_phis)
-            ct_st = pre_vjp(st_k, (ct_st2, ct_dp1, ct_carry))
-        return prep_vjp(prog, phis, (ct_st, ct_q))
+            with freeze.replaying(tapes["post"][k]):
+                _, vjp_post = jax.vjp(
+                    lambda a, b, c, d: s["post"](a, b, c, d, last, "mixed"),
+                    st2, cks["carry_fin"][k], q, dp1)
+            ct_st2, ct_carry, ct_q, ct_dp1 = vjp_post((ct_st, ct_q))
+
+            def body(cc, x):
+                c_j, tape_j = x
+                ct_c, ct_ph = cc
+                with freeze.replaying(tape_j):
+                    _, vjp_sub = jax.vjp(
+                        self._sub_mix, c_j, dict(phis=st2["phis"]))
+                d_c, d_cn = vjp_sub(ct_c)
+                return (d_c, ct_ph + d_cn["phis"]), None
+
+            (ct_carry, ct_ph), _ = lax.scan(
+                body, (ct_carry, jnp.zeros_like(st2["phis"])),
+                (cks["carries"][k], tapes["sub"][k]), reverse=True)
+            ct_st2 = dict(ct_st2, phis=ct_st2["phis"] + ct_ph)
+            ct_st = jax.vjp(s["pre"], st)[1]((ct_st2, ct_dp1, ct_carry))[0]
+        ct_prog = jax.vjp(s["prep"], prog, phis)[1]((ct_st, ct_q))[0]
+        return ct_prog
+
+    def ad(self, prog, phis, pb, cks, tapes):
+        return self._get("ad", self._ad_fn)(prog, phis, cks, tapes, pb)

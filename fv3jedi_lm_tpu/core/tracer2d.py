@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import NG
+from ..core.freeze import fbool
+from ..core import freeze
 from ..ops.sw_core import F2P, SL
 from ..ops.transport import fv_tp_2d
 from ..parallel import halo
@@ -35,13 +37,13 @@ def tracer_2d(q, dp1, mfx, mfy, cx, cy, grid, topo, cfg, npx, hord_tr,
     area, rarea = grid["area"], grid["rarea"]
 
     # area fluxes from the accumulated courant numbers (:355-375)
-    selx = cx > 0.0
+    selx = fbool(cx > 0.0)
     xfx = cx * dy[..., :, SL(1, npx)] * jnp.where(
         selx,
         dxa[..., :, p(0):p(n) + 1] * sin_sg[2][..., :, p(0):p(n) + 1],
         dxa[..., :, p(1):p(npx) + 1] * sin_sg[0][..., :, p(1):p(npx) + 1],
     )
-    sely = cy > 0.0
+    sely = fbool(cy > 0.0)
     yfx = cy * dx[..., SL(1, npy), :] * jnp.where(
         sely,
         dya[..., p(0):p(n) + 1, :] * sin_sg[3][..., p(0):p(n) + 1, :],
@@ -79,7 +81,15 @@ def tracer_2d(q, dp1, mfx, mfy, cx, cy, grid, topo, cfg, npx, hord_tr,
                 qq, cx, cy, hord_tr, xfx, yfx, grid, topo, ra_x, ra_y,
                 mfx=mfx, mfy=mfy,
             )
-        fx, fy = jax.vmap(tp)(qs)
+        if freeze.active():
+            # under the frozen-branch tape the per-tracer limiter masks must
+            # be recorded in deterministic trace order, so loop instead of
+            # vmap (the batched masks cannot cross the vmap boundary)
+            fxl, fyl = zip(*[tp(qs[i]) for i in range(qs.shape[0])])
+            fx = jnp.stack(fxl, axis=0)
+            fy = jnp.stack(fyl, axis=0)
+        else:
+            fx, fy = jax.vmap(tp)(qs)
         qs = qs.at[..., cs, cs].set(
             (
                 qs[..., cs, cs] * dp1[..., cs, cs]

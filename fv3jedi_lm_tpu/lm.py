@@ -57,6 +57,9 @@ class LinearModel:
     """
 
     def __init__(self, cfg: LMConfig, ak=None, bk=None, big=None):
+        # apply the split_* coupling: unless split, the trajectory adopts
+        # the perturbation coefficients (fv_control_tlmadm.F90:220-252)
+        cfg = cfg.replace(dyn=cfg.dyn.resolve())
         self.cfg = cfg
         dyn = cfg.dyn
         self.dtype = jnp.dtype(dyn.dtype)
@@ -69,10 +72,15 @@ class LinearModel:
         self.bk = jnp.asarray(bk, dtype=self.dtype)
         self.ptop = float(ak[0])
         self._jit_nl = None
-        self._jit_tl = None
-        self._jit_ad = None
         self._stepper = None
-        self._traj_cache = None
+        # per-trajectory checkpoint/tape cache (reference saveltraj,
+        # fv3jedi_lm_utils_mod.F90:30): with saveltraj the whole window's
+        # per-step linearization data stays resident across inner-loop
+        # iterations (the tapenade_iter cp cache analogue, SURVEY 5.4);
+        # without it only the most recent step's data is kept.
+        from collections import OrderedDict
+        self._traj_cache = OrderedDict()
+        self._traj_cache_max = (cfg.nt + 1) if cfg.saveltraj else 1
 
     # -- construction helpers ------------------------------------------------
 
@@ -164,19 +172,19 @@ class LinearModel:
 
     # -- the pure one-step function -------------------------------------------
 
-    def _step_fn(self, prog: dict, phis: jnp.ndarray, use_ckpt=True) -> dict:
+    def _step_fn(self, prog: dict, phis: jnp.ndarray) -> dict:
         """One model step dt on compute-domain prognostic fields (pure).
 
         The single-executable path (NLM + the multi-device dryrun).  The
         production TLM/ADM run the same stage functions through the staged
         driver (core/staged.py) instead, so that both linearize at identical
-        stored trajectory checkpoints."""
+        stored trajectory checkpoints with identical frozen branch tapes."""
         dyn = self.cfg.dyn
         st, q = self._pad(prog)
         st["phis"] = self._pad_phis(phis)
         st, q = fv_dynamics(
             st, q, self.grid, self.topo, dyn, self.cfg.dt,
-            self.ak, self.bk, self.ptop, use_ckpt=use_ckpt,
+            self.ak, self.bk, self.ptop,
         )
         return self._unpad(st, q)
 
@@ -187,16 +195,24 @@ class LinearModel:
         return self._stepper
 
     def _ckpts(self, traj):
-        """Per-trajectory stage-input checkpoints, cached by traj identity —
-        the reference's `saveltraj` local-trajectory cache analogue
-        (fv3jedi_lm_utils_mod.F90:30, turbulence/...:180-187)."""
+        """Per-trajectory stage-input checkpoints + frozen branch tapes,
+        cached by traj identity — the reference's `saveltraj`
+        local-trajectory cache analogue (fv3jedi_lm_utils_mod.F90:30,
+        turbulence/...:180-187); the tapes are its PUSHCONTROL record
+        (utils/tapenade/adBuffer.f:114-343)."""
         key = id(traj)
-        if self._traj_cache is not None and self._traj_cache[0] == key:
-            return self._traj_cache[1]
+        hit = self._traj_cache.get(key)
+        if hit is not None:
+            self._traj_cache.move_to_end(key)
+            return hit
+        stepper = self._staged()
         prog = {k: traj[k] for k in PROG_3D}
-        _, cks = self._staged().forward(prog, traj["phis"])
-        self._traj_cache = (key, cks)
-        return cks
+        _, cks = stepper.forward(prog, traj["phis"])
+        tapes = stepper.record(cks)
+        self._traj_cache[key] = (cks, tapes)
+        while len(self._traj_cache) > self._traj_cache_max:
+            self._traj_cache.popitem(last=False)
+        return cks, tapes
 
     # -- public stepping API ---------------------------------------------------
 
@@ -222,7 +238,8 @@ class LinearModel:
         """
         prog = {k: traj[k] for k in PROG_3D}
         p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
-        return self._staged().tl(prog, traj["phis"], p, cks=self._ckpts(traj))
+        cks, tapes = self._ckpts(traj)
+        return self._staged().tl(prog, traj["phis"], p, cks, tapes)
 
     def step_ad(self, traj: dict, pert_ad: dict) -> dict:
         """Adjoint step: pert_bar = M(traj)^T @ pert_ad (fv3jedi_lm_mod.F90:176).
@@ -234,4 +251,43 @@ class LinearModel:
         runtime for the same contract."""
         prog = {k: traj[k] for k in PROG_3D}
         pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
-        return self._staged().ad(prog, traj["phis"], pb, cks=self._ckpts(traj))
+        cks, tapes = self._ckpts(traj)
+        return self._staged().ad(prog, traj["phis"], pb, cks, tapes)
+
+    # -- window (4D-Var inner-loop) driver -------------------------------------
+    #
+    # The reference leaves the nt-step window loop to FV3-JEDI (SURVEY 3.5):
+    # per outer iteration the host propagates and stores the trajectory, then
+    # for each inner iteration runs the TLM forward over the window and the
+    # ADM backward (src/fv3jedi_lm_mod.F90:105-219, conf%nt/n in
+    # src/utils/fv3jedi_lm_utils_mod.F90:16-18).  Here the window driver is
+    # part of the framework: `run_nl` stores the per-step trajectory,
+    # `run_tl`/`run_ad` sweep it.  With cfg.saveltraj the per-step
+    # linearization data (checkpoints + branch tapes) stays cached across
+    # calls — the tapenade_iter iterative-checkpointing cache analogue
+    # (utils/tapenade/tapenade_iter.F90:118-199).
+
+    def run_nl(self, traj0: dict) -> list:
+        """Propagate the window: returns [x_0, x_1, ..., x_nt] (nt+1 states).
+
+        trajs[n] is the linearization state for window step n."""
+        trajs = [traj0]
+        tr = traj0
+        for _ in range(self.cfg.nt):
+            tr = self.step_nl(tr)
+            trajs.append(tr)
+        return trajs
+
+    def run_tl(self, trajs: list, pert: dict) -> dict:
+        """M_window = M(x_{nt-1}) @ ... @ M(x_0) applied to pert."""
+        p = pert
+        for n in range(self.cfg.nt):
+            p = self.step_tl(trajs[n], p)
+        return p
+
+    def run_ad(self, trajs: list, pert_ad: dict) -> dict:
+        """Exact transpose of run_tl: reversed per-step adjoint sweep."""
+        pb = pert_ad
+        for n in reversed(range(self.cfg.nt)):
+            pb = self.step_ad(trajs[n], pb)
+        return pb

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import NG
+from ..core.freeze import fabs, fbool, fmax, fmin, fsign_mul, fwhere
 from ..parallel import halo
 from . import ppm
 from .a2b_edge import a2b_ord4
@@ -85,7 +86,7 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
     rdxR = rdxm[..., b0s:b0s + n + 1]
 
     if iord == 1:
-        return jnp.where(cb > 0.0, qL, qR)
+        return fwhere(cb > 0.0, qL, qR)
 
     er = edge_rows  # (R, 1) broadcastable
 
@@ -137,7 +138,7 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         cflp = cb * rdxL
         cfln = cb * rdxR
         if iord == 2:
-            return jnp.where(
+            return fwhere(
                 cb > 0.0,
                 qL + (1.0 - cflp) * (brL - cflp * b0L),
                 qR + (1.0 + cfln) * (blR + cfln * b0R),
@@ -145,8 +146,8 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         x0 = jnp.abs(b0)
         x1 = jnp.abs(bl - br)
         if iord in (3, 4):
-            smt5 = x0 < x1
-            smt6 = 3.0 * x0 < x1
+            smt5 = fbool(x0 < x1)
+            smt6 = fbool(3.0 * x0 < x1)
             s5L = smt5[..., b0s - 1:b0s + n]
             s6L = smt6[..., b0s - 1:b0s + n]
             s5R = smt5[..., b0s:b0s + n + 1]
@@ -157,7 +158,7 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
                     brL - cflp * b0L,
                     jnp.where(
                         s5L,
-                        jnp.sign(brL) * jnp.minimum(jnp.abs(blL), jnp.abs(brL)),
+                        fsign_mul(brL, fmin(fabs(blL), fabs(brL))),
                         0.0,
                     ),
                 )
@@ -166,31 +167,32 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
                     blR + cfln * b0R,
                     jnp.where(
                         s5R,
-                        jnp.sign(blR) * jnp.minimum(jnp.abs(blR), jnp.abs(brR)),
+                        fsign_mul(blR, fmin(fabs(blR), fabs(brR))),
                         0.0,
                     ),
                 )
-                return jnp.where(
+                return fwhere(
                     cb > 0.0,
                     qL + (1.0 - cflp) * fx0p,
                     qR + (1.0 + cfln) * fx0n,
                 )
             fx0p = jnp.where(s6L | s5R, (1.0 - cflp) * (brL - cflp * b0L), 0.0)
             fx0n = jnp.where(s6R | s5L, (1.0 + cfln) * (blR + cfln * b0R), 0.0)
-            return jnp.where(cb > 0.0, qL + fx0p, qR + fx0n)
+            return fwhere(cb > 0.0, qL + fx0p, qR + fx0n)
         # iord 5, 6, 7
         if iord == 5:
-            smt5 = bl * br < 0.0
+            smt5 = fbool(bl * br < 0.0)
         else:
-            smt5 = jnp.abs(3.0 * b0) < x1
+            smt5 = fbool(jnp.abs(3.0 * b0) < x1)
         s5L = smt5[..., b0s - 1:b0s + n]
         s5R = smt5[..., b0s:b0s + n + 1]
+        cbpos = fbool(cb > 0.0)
         fx0 = jnp.where(
-            cb > 0.0,
+            cbpos,
             (1.0 - cflp) * (brL - cflp * b0L),
             (1.0 + cfln) * (blR + cfln * b0R),
         )
-        base = jnp.where(cb > 0.0, qL, qR)
+        base = jnp.where(cbpos, qL, qR)
         return base + jnp.where(s5L | s5R, fx0, 0.0)
 
     # ---- iord >= 8 (monotone family, sw_core_nlm.F90:2168-2306) ----
@@ -198,13 +200,13 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
     qp1 = q[..., 2:ic]
     q0 = q[..., 1:ic - 1]
     xt = 0.25 * (qp1 - qm1)
-    dm_i = jnp.sign(xt) * jnp.minimum(
-        jnp.abs(xt),
-        jnp.minimum(
-            jnp.maximum(jnp.maximum(qm1, q0), qp1) - q0,
-            q0 - jnp.minimum(jnp.minimum(qm1, q0), qp1),
+    dm_i = fsign_mul(xt, fmin(
+        fabs(xt),
+        fmin(
+            fmax(fmax(qm1, q0), qp1) - q0,
+            q0 - fmin(fmin(qm1, q0), qp1),
         ),
-    )
+    ))
     dm = jnp.zeros_like(q).at[..., 1:ic - 1].set(dm_i)
     dq = jnp.zeros_like(q).at[..., 0:ic - 1].set(q[..., 1:ic] - q[..., 0:ic - 1])
 
@@ -216,23 +218,23 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
     br = al[..., 1:] - q
     if iord == 8:
         xt2 = 2.0 * dm
-        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(bl))
-        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(br))
+        bl = -fsign_mul(xt2, fmin(fabs(xt2), fabs(bl)))
+        br = fsign_mul(xt2, fmin(fabs(xt2), fabs(br)))
     elif iord in (9, 10):
         dqm1 = jnp.roll(dq, 1, axis=-1)
         dqm2 = jnp.roll(dq, 2, axis=-1)
         dqp1 = jnp.roll(dq, -1, axis=-1)
         pmp_1 = -2.0 * dq
         lac_1 = pmp_1 + 1.5 * dqp1
-        bl_l = jnp.minimum(
-            jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
-            jnp.maximum(bl, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))),
+        bl_l = fmin(
+            fmax(0.0, fmax(pmp_1, lac_1)),
+            fmax(bl, fmin(0.0, fmin(pmp_1, lac_1))),
         )
         pmp_2 = 2.0 * dqm1
         lac_2 = pmp_2 - 1.5 * dqm2
-        br_l = jnp.minimum(
-            jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
-            jnp.maximum(br, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))),
+        br_l = fmin(
+            fmax(0.0, fmax(pmp_2, lac_2)),
+            fmax(br, fmin(0.0, fmin(pmp_2, lac_2))),
         )
         if iord == 9:
             bl, br = bl_l, br_l
@@ -243,8 +245,8 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
                 jnp.abs(dmm1) + jnp.abs(dmp1) < NEAR_ZERO
             )
             noisy = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
-            bl = jnp.where(flat, 0.0, jnp.where(noisy, bl_l, bl))
-            br = jnp.where(flat, 0.0, jnp.where(noisy, br_l, br))
+            bl = fwhere(flat, 0.0, fwhere(noisy, bl_l, bl))
+            br = fwhere(flat, 0.0, fwhere(noisy, br_l, br))
     # iord == 11: unlimited bl/br as computed
 
     # west edge (sw_core_nlm.F90:2237-2261)
@@ -293,7 +295,7 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
     b0R = b0[..., b0s:b0s + n + 1]
     cflp = cb * rdxL
     cfln = cb * rdxR
-    return jnp.where(
+    return fwhere(
         cb > 0.0,
         qL + (1.0 - cflp) * (brL - cflp * b0L),
         qR + (1.0 + cfln) * (blR + cfln * b0R),
@@ -305,7 +307,12 @@ def xtp_u(cb, u, dx, rdx, iord, npx):
 
     cb: (..., jb, jb) courant (only B 1..npx read); u: (..., jb, jc).
     Returns (..., npx, npx) flux at B points (j, i) in [1, npx]^2.
+    `iord` may be a per-level blend (main, sponge, mask_k) — see ppm.xppm.
     """
+    if isinstance(iord, tuple):
+        main, sponge, mask = iord
+        return jnp.where(mask, xtp_u(cb, u, dx, rdx, sponge, npx),
+                         xtp_u(cb, u, dx, rdx, main, npx))
     bs = SL(1, npx)
     rows = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
     return _xtp_flux(
@@ -316,6 +323,10 @@ def xtp_u(cb, u, dx, rdx, iord, npx):
 
 def ytp_v(cb, v, dy, rdy, jord, npx):
     """Flux of v along y at B points (sw_core_nlm.F90:2312); mirror of xtp_u."""
+    if isinstance(jord, tuple):
+        main, sponge, mask = jord
+        return jnp.where(mask, ytp_v(cb, v, dy, rdy, sponge, npx),
+                         ytp_v(cb, v, dy, rdy, main, npx))
     bs = SL(1, npx)
     rows = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
     fl = _xtp_flux(
@@ -451,23 +462,23 @@ def d_sw(
     # west edge col (i=1): ut = uc / sin_sg (:687-694)
     e1 = p(1)
     eN = p(npx)
-    sel = uc[..., :, e1] * dt > 0.0
+    sel = fbool(uc[..., :, e1] * dt > 0.0)
     ut = ut.at[..., :, e1].set(
         uc[..., :, e1]
         / jnp.where(sel, sin_sg[2][..., :, e1 - 1], sin_sg[0][..., :, e1])
     )
-    sel = uc[..., :, eN] * dt > 0.0
+    sel = fbool(uc[..., :, eN] * dt > 0.0)
     ut = ut.at[..., :, eN].set(
         uc[..., :, eN]
         / jnp.where(sel, sin_sg[2][..., :, eN - 1], sin_sg[0][..., :, eN])
     )
     # south/north edge rows (j=1 / j=npy) for vt (:718-743)
-    sel = vc[..., e1, :] * dt > 0.0
+    sel = fbool(vc[..., e1, :] * dt > 0.0)
     vt = vt.at[..., e1, :].set(
         vc[..., e1, :]
         / jnp.where(sel, sin_sg[3][..., e1 - 1, :], sin_sg[1][..., e1, :])
     )
-    sel = vc[..., eN, :] * dt > 0.0
+    sel = fbool(vc[..., eN, :] * dt > 0.0)
     vt = vt.at[..., eN, :].set(
         vc[..., eN, :]
         / jnp.where(sel, sin_sg[3][..., eN - 1, :], sin_sg[1][..., eN, :])
@@ -776,7 +787,7 @@ def d_sw(
     # ---------------------------------------------------------------
     es = SL(1, npx)  # B cols 1..npx
     xfx0 = dt * ut[..., :, es]                       # (..., jc, n+1)
-    selx = xfx0 > 0.0
+    selx = fbool(xfx0 > 0.0)
     crx = jnp.where(
         selx,
         xfx0 * rdxa[..., :, p(0):p(n) + 1],
@@ -786,7 +797,7 @@ def d_sw(
         selx, sin_sg[2][..., :, p(0):p(n) + 1], sin_sg[0][..., :, p(1):p(npx) + 1]
     )
     yfx0 = dt * vt[..., es, :]                       # (..., n+1, jc)
-    sely = yfx0 > 0.0
+    sely = fbool(yfx0 > 0.0)
     cry = jnp.where(
         sely,
         yfx0 * rdya[..., p(0):p(n) + 1, :],
@@ -1023,7 +1034,7 @@ def d_sw(
         ) * dyc[..., bs, csx] * sina_v[..., bs, csx]
         ptc_s = ptc_s.at[..., bs, csx].set(ptc_i)
         for jrow in (p(1), p(npy)):
-            selj = vc[..., jrow, csx] > 0.0
+            selj = fbool(vc[..., jrow, csx] > 0.0)
             ptc_s = ptc_s.at[..., jrow, csx].set(
                 u[..., jrow, csx]
                 * dyc[..., jrow, csx]
@@ -1044,7 +1055,7 @@ def d_sw(
         ) * dxc[..., csy, is2] * sina_u[..., csy, is2]
         vort_s = vort_s.at[..., csy, is2].set(vort_i)
         for icol in (p(1), p(npx)):
-            seli = uc[..., csy, icol] > 0.0
+            seli = fbool(uc[..., csy, icol] > 0.0)
             vort_s = vort_s.at[..., csy, icol].set(
                 v[..., csy, icol]
                 * dxc[..., csy, icol]
@@ -1077,8 +1088,8 @@ def d_sw(
             + ptc_s[..., p(npy), p(0)] - ptc_s[..., p(npy), p(1)]
         )
         delpc_b = rarea_c[..., bs, bs] * delpc_b
-        dampc = da_min_c * jnp.maximum(
-            d2_divg_k, jnp.minimum(0.20, dddmp * jnp.abs(delpc_b * dt))
+        dampc = da_min_c * fmax(
+            d2_divg_k, fmin(0.20, dddmp * fabs(delpc_b * dt))
         )
         vort_b0 = dampc * delpc_b
         delpc_full = jnp.zeros(u.shape[:-2] + (jb, jb), dtype).at[
@@ -1137,12 +1148,13 @@ def d_sw(
             # safe sqrt: d(sqrt)/ds -> inf at s=0 poisons jvp/vjp tangents on
             # resting trajectories; take subgradient 0 there (value unchanged)
             sm2 = divg_d[..., bs, bs] ** 2 + wkb[..., bs, bs] ** 2
+            smpos = fbool(sm2 > 0.0)
             vort_sm = abs(dt) * jnp.where(
-                sm2 > 0.0, jnp.sqrt(jnp.where(sm2 > 0.0, sm2, 1.0)), 0.0
+                smpos, jnp.sqrt(jnp.where(smpos, sm2, 1.0)), 0.0
             )
         dd8 = (da_min_c * d4_bg) ** n2
-        damp2 = da_min_c * jnp.maximum(
-            d2_divg_k, jnp.minimum(0.20, dddmp * vort_sm)
+        damp2 = da_min_c * fmax(
+            d2_divg_k, fmin(0.20, dddmp * vort_sm)
         )
         vort_bn = damp2 * divg_d[..., bs, bs] + dd8 * dd[..., bs, bs]
         # per-level selection: sponge levels use the del-2 path

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.freeze import fbool, fclip, fint, fmax, fmin, fwhere
+
 R3 = 1.0 / 3.0
 R12 = 1.0 / 12.0
 T_MIN = 184.0  # map_scalar t_min (fv_mapz_nlm.F90:33 area; GEOS uses 184K floor)
@@ -111,13 +113,13 @@ def _edge_tridiag_w(a1, delp, qs):
 def _cs_limiters(a1, a2, a3, a4, extm, iv):
     """cs_limiters (fv_mapz_nlm.F90:2467-2542), vectorized."""
     if iv == 0:
-        nonpos = a1 <= 0.0
+        nonpos = fbool(a1 <= 0.0)
         da1 = a3 - a2
         cond = jnp.abs(da1) < -a4
-        fmin = a1 + 0.25 * da1**2 / jnp.where(a4 == 0, 1.0, a4) + a4 * R12
-        neg_min = cond & (fmin < 0.0)
-        c_mid = (a1 < a3) & (a1 < a2)
-        c_right = a3 > a2
+        f_min = a1 + 0.25 * da1**2 / fwhere(a4 == 0, 1.0, a4) + a4 * R12
+        neg_min = fbool(cond & (f_min < 0.0))
+        c_mid = fbool((a1 < a3) & (a1 < a2))
+        c_right = fbool(a3 > a2)
         a4_mid = jnp.zeros_like(a4)
         a4_r = 3.0 * (a2 - a1)
         a3_r = a2 - a4_r
@@ -135,7 +137,7 @@ def _cs_limiters(a1, a2, a3, a4, extm, iv):
             jnp.where(nonpos, 0.0, a4f),
         )
     if iv == 1:
-        mono = (a1 - a2) * (a1 - a3) >= 0.0
+        mono = fbool((a1 - a2) * (a1 - a3) >= 0.0)
     else:  # iv == 2: standard PPM constraint keyed on extm
         mono = extm
     da1 = a3 - a2
@@ -145,8 +147,8 @@ def _cs_limiters(a1, a2, a3, a4, extm, iv):
     a3_r = a2 - a4_r
     a4_l = 3.0 * (a3 - a1)
     a2_l = a3 - a4_l
-    under = a6da < -da2
-    over = a6da > da2
+    under = fbool(a6da < -da2)
+    over = fbool(a6da > da2)
     a2n = jnp.where(under, a2, jnp.where(over, a2_l, a2))
     a3n = jnp.where(under, a3_r, a3)
     a4n = jnp.where(under, a4_r, jnp.where(over, a4_l, a4))
@@ -180,7 +182,7 @@ def cs_profile(qs, a1, delp, iv, kord):
         [jnp.zeros_like(a1[0])[None], a1[1:] - a1[:-1]], axis=0
     )  # gam(k) = a1(k)-a1(k-1), k=2..km stored at index k-1
     q = q.at[1].set(
-        jnp.clip(q[1], jnp.minimum(a1[0], a1[1]), jnp.maximum(a1[0], a1[1]))
+        fclip(q[1], fmin(a1[0], a1[1]), fmax(a1[0], a1[1]))
     )
     # interior k=3..km-1 (idx 2..km-2): keyed on gam(k-1)*gam(k+1)
     if km > 3:
@@ -190,18 +192,18 @@ def cs_profile(qs, a1, delp, iv, kord):
         g_lo = gam[2:km - 1]                # gam(k) = a1(k)-a1(k-1)
         g_m1 = gam[1:km - 2]                # gam(k-1)
         g_p1 = gam[3:km]                    # gam(k+1)
-        smooth = g_m1 * g_p1 > 0.0
-        q_cl = jnp.clip(qi, jnp.minimum(a_km1, a_k), jnp.maximum(a_km1, a_k))
-        has_max = g_m1 > 0.0
-        q_max = jnp.maximum(qi, jnp.minimum(a_km1, a_k))
-        q_min = jnp.minimum(qi, jnp.maximum(a_km1, a_k))
+        smooth = fbool(g_m1 * g_p1 > 0.0)
+        q_cl = fclip(qi, fmin(a_km1, a_k), fmax(a_km1, a_k))
+        has_max = fbool(g_m1 > 0.0)
+        q_max = fmax(qi, fmin(a_km1, a_k))
+        q_min = fmin(qi, fmax(a_km1, a_k))
         if iv == 0:
-            q_min = jnp.maximum(0.0, q_min)
+            q_min = fmax(0.0, q_min)
         q_new = jnp.where(smooth, q_cl, jnp.where(has_max, q_max, q_min))
         q = q.at[2:km - 1].set(q_new)
     q = q.at[km - 1].set(
-        jnp.clip(q[km - 1], jnp.minimum(a1[km - 2], a1[km - 1]),
-                 jnp.maximum(a1[km - 2], a1[km - 1]))
+        fclip(q[km - 1], fmin(a1[km - 2], a1[km - 1]),
+              fmax(a1[km - 2], a1[km - 1]))
     )
 
     a2 = q[:-1]
@@ -211,16 +213,16 @@ def cs_profile(qs, a1, delp, iv, kord):
     extm_mid = gam[1:-1] * gam[2:] < 0.0 if km > 2 else None
     extm_top = (a2[0] - a1[0]) * (a3[0] - a1[0]) > 0.0
     extm_bot = (a2[-1] - a1[-1]) * (a3[-1] - a1[-1]) > 0.0
-    extm = jnp.concatenate(
+    extm = fbool(jnp.concatenate(
         [extm_top[None], extm_mid, extm_bot[None]], axis=0
-    )
+    ))
 
     # ---- subgrid constraints (:2266-2464) ----
     # top boundary treatment
     if iv == 0:
-        a2 = a2.at[0].set(jnp.maximum(0.0, a2[0]))
+        a2 = a2.at[0].set(fmax(0.0, a2[0]))
     elif iv == -1:
-        a2 = a2.at[0].set(jnp.where(a2[0] * a1[0] <= 0.0, 0.0, a2[0]))
+        a2 = a2.at[0].set(fwhere(a2[0] * a1[0] <= 0.0, 0.0, a2[0]))
     elif iv == 2:
         a2 = a2.at[0].set(a1[0])
         a3 = a3.at[0].set(a1[0])
@@ -249,17 +251,17 @@ def cs_profile(qs, a1, delp, iv, kord):
         g_p2 = gam[4:km]          # gam(k+2)
         pmp_1 = a1i - 2.0 * g_p1
         lac_1 = pmp_1 + 1.5 * g_p2
-        a2h = jnp.clip(
+        a2h = fclip(
             a2i,
-            jnp.minimum(jnp.minimum(a1i, pmp_1), lac_1),
-            jnp.maximum(jnp.maximum(a1i, pmp_1), lac_1),
+            fmin(fmin(a1i, pmp_1), lac_1),
+            fmax(fmax(a1i, pmp_1), lac_1),
         )
         pmp_2 = a1i + 2.0 * g_k
         lac_2 = pmp_2 - 1.5 * g_m1
-        a3h = jnp.clip(
+        a3h = fclip(
             a3i,
-            jnp.minimum(jnp.minimum(a1i, pmp_2), lac_2),
-            jnp.maximum(jnp.maximum(a1i, pmp_2), lac_2),
+            fmin(fmin(a1i, pmp_2), lac_2),
+            fmax(fmax(a1i, pmp_2), lac_2),
         )
         ak = abs(kord)
         if ak < 9:
@@ -268,7 +270,7 @@ def cs_profile(qs, a1, delp, iv, kord):
         elif ak == 9:
             wave = exi & (ex_m1 | ex_p1)
             a4_0 = 6.0 * a1i - 3.0 * (a2i + a3i)
-            nonmono = jnp.abs(a4_0) > jnp.abs(a2i - a3i)
+            nonmono = fbool(jnp.abs(a4_0) > jnp.abs(a2i - a3i))
             a2n = jnp.where(wave, a1i, jnp.where(nonmono, a2h, a2i))
             a3n = jnp.where(wave, a1i, jnp.where(nonmono, a3h, a3i))
             a4n = jnp.where(
@@ -278,7 +280,7 @@ def cs_profile(qs, a1, delp, iv, kord):
             wave = exi & (ex_m1 | ex_p1)
             true_ext = exi & ~(ex_m1 | ex_p1)
             a4_0 = 6.0 * a1i - 3.0 * (a2i + a3i)
-            nonmono = (~exi) & (jnp.abs(a4_0) > jnp.abs(a2i - a3i))
+            nonmono = fbool((~exi) & (jnp.abs(a4_0) > jnp.abs(a2i - a3i)))
             a2n = jnp.where(wave, a1i, jnp.where(nonmono, a2h, a2i))
             a3n = jnp.where(wave, a1i, jnp.where(nonmono, a3h, a3i))
             a4n = jnp.where(wave, 0.0, 6.0 * a1i - 3.0 * (a2n + a3n))
@@ -293,10 +295,10 @@ def cs_profile(qs, a1, delp, iv, kord):
 
     # bottom two layers (:2437-2463)
     if iv == 0:
-        a3 = a3.at[km - 1].set(jnp.maximum(0.0, a3[km - 1]))
+        a3 = a3.at[km - 1].set(fmax(0.0, a3[km - 1]))
     elif iv == -1:
         a3 = a3.at[km - 1].set(
-            jnp.where(a3[km - 1] * a1[km - 1] <= 0.0, 0.0, a3[km - 1])
+            fwhere(a3[km - 1] * a1[km - 1] <= 0.0, 0.0, a3[km - 1])
         )
     for k, lim in ((km - 2, 2), (km - 1, 1)):
         a4 = a4.at[k].set(3.0 * (2.0 * a1[k] - (a2[k] + a3[k])))
@@ -336,14 +338,14 @@ def remap_column(pe1, pe2, a1, a2, a3, a4):
         [jnp.zeros_like(a1[:1]), jnp.cumsum(a1 * dp1, axis=0)], axis=0
     )
 
-    idx = _locate(pe1[1:-1], pe2)                        # (kn+1, ncol)
+    idx = fint(_locate(pe1[1:-1], pe2))                  # (kn+1, ncol)
     pe1_l = jnp.take_along_axis(pe1, idx, axis=0)
     dp_l = jnp.take_along_axis(dp1, idx, axis=0)
     c_l = jnp.take_along_axis(cums, idx, axis=0)
     a2_l = jnp.take_along_axis(a2, idx, axis=0)
     a3_l = jnp.take_along_axis(a3, idx, axis=0)
     a4_l = jnp.take_along_axis(a4, idx, axis=0)
-    xi = jnp.clip((pe2 - pe1_l) / dp_l, 0.0, 1.0)
+    xi = fclip((pe2 - pe1_l) / dp_l, 0.0, 1.0)
     # f(s) = aL + s*(aR-aL+a6) - a6 s^2 ;  F(xi) = int_0^xi f ds
     b = a3_l - a2_l + a4_l
     f_int = a2_l * xi + 0.5 * b * xi**2 - a4_l * R3 * xi**3
@@ -371,5 +373,5 @@ def map1_ppm(pe1, q1, qs, pe2, iv, kord, q_min=None):
     a2, a3, a4 = cs_profile(qsf, q1f, pe1f[1:] - pe1f[:-1], iv, kord)
     out = remap_column(pe1f, pe2f, q1f, a2, a3, a4)
     if q_min is not None:
-        out = jnp.maximum(out, q_min)
+        out = fmax(out, q_min)
     return out.reshape(shp)

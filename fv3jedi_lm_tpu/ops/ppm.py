@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import NG
+from ..core.freeze import fabs, fbool, fmax, fmin, fsign_mul, fwhere
 
 # reconstruction coefficients (tp_core_nlm.F90:40-70)
 P1 = 7.0 / 12.0
@@ -80,23 +81,24 @@ def pert_ppm(a0, al, ar, iv):
     if iv == 0:
         a4 = -3.0 * (ar + al)
         da1 = ar - al
-        fmin = a0 + 0.25 / jnp.where(a4 == 0, 1.0, a4) * da1**2 + a4 * r12
-        need_fix = (jnp.abs(da1) < -a4) & (fmin < 0.0)
+        f_min = a0 + 0.25 / fwhere(a4 == 0, 1.0, a4) * da1**2 + a4 * r12
+        need_fix = (jnp.abs(da1) < -a4) & (f_min < 0.0)
         both_pos = (ar > 0.0) & (al > 0.0)
-        ar_f = jnp.where(both_pos, 0.0, jnp.where(da1 > 0.0, -2.0 * al, ar))
-        al_f = jnp.where(both_pos, 0.0, jnp.where(da1 > 0.0, al, -2.0 * ar))
-        ar_n = jnp.where(need_fix, ar_f, ar)
-        al_n = jnp.where(need_fix, al_f, al)
+        da1_pos = da1 > 0.0
+        ar_f = fwhere(both_pos, 0.0, fwhere(da1_pos, -2.0 * al, ar))
+        al_f = fwhere(both_pos, 0.0, fwhere(da1_pos, al, -2.0 * ar))
+        ar_n = fwhere(need_fix, ar_f, ar)
+        al_n = fwhere(need_fix, al_f, al)
         pos = a0 > 0.0
-        return jnp.where(pos, al_n, 0.0), jnp.where(pos, ar_n, 0.0)
+        return fwhere(pos, al_n, 0.0), fwhere(pos, ar_n, 0.0)
     else:
         opp = al * ar < 0.0
         da1 = al - ar
         da2 = da1**2
         a6da = 3.0 * (al + ar) * da1
-        ar_n = jnp.where(a6da < -da2, -2.0 * al, ar)
-        al_n = jnp.where(a6da > da2, -2.0 * ar, al)
-        return jnp.where(opp, al_n, 0.0), jnp.where(opp, ar_n, 0.0)
+        ar_n = fwhere(a6da < -da2, -2.0 * al, ar)
+        al_n = fwhere(a6da > da2, -2.0 * ar, al)
+        return fwhere(opp, al_n, 0.0), fwhere(opp, ar_n, 0.0)
 
 
 def _bl_br_low(q, dxa, iord):
@@ -108,7 +110,7 @@ def _bl_br_low(q, dxa, iord):
     if iord == 7:
         half = 0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
         alv = al[..., 1:ic]
-        al = al.at[..., 1:ic].set(jnp.where(alv < 0.0, half, alv))
+        al = al.at[..., 1:ic].set(fwhere(alv < 0.0, half, alv))
 
     # face-edge interface overrides (tp_core_nlm.F90:341-369)
     e_w = NG          # west face edge index
@@ -129,7 +131,7 @@ def _bl_br_low(q, dxa, iord):
     )
     if iord == 7:
         for e in (e_w - 1, e_w, e_w + 1, e_e - 1, e_e, e_e + 1):
-            al = al.at[..., e].set(jnp.maximum(0.0, al[..., e]))
+            al = al.at[..., e].set(fmax(0.0, al[..., e]))
 
     bl = al[..., :-1] - q          # al(i) - q(i), cell-aligned (width IC)
     br = al[..., 1:] - q           # al(i+1) - q(i)
@@ -145,13 +147,13 @@ def _bl_br_high(q, dxa, iord):
     qp1 = q[..., 2:ic]
     q0 = q[..., 1:ic - 1]
     xt = 0.25 * (qp1 - qm1)
-    dm_i = jnp.sign(xt) * jnp.minimum(
-        jnp.abs(xt),
-        jnp.minimum(
-            jnp.maximum(jnp.maximum(qm1, q0), qp1) - q0,
-            q0 - jnp.minimum(jnp.minimum(qm1, q0), qp1),
+    dm_i = fsign_mul(xt, fmin(
+        fabs(xt),
+        fmin(
+            fmax(fmax(qm1, q0), qp1) - q0,
+            q0 - fmin(fmin(qm1, q0), qp1),
         ),
-    )
+    ))
     dm = jnp.zeros_like(q).at[..., 1:ic - 1].set(dm_i)
 
     al = jnp.zeros(q.shape[:-1] + (ic + 1,), q.dtype)
@@ -165,8 +167,8 @@ def _bl_br_high(q, dxa, iord):
     if iord in (8, 11):
         fac = 2.0 if iord == 8 else PPM_FAC
         xt2 = fac * dm
-        bl = -jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(bl))
-        br = jnp.sign(xt2) * jnp.minimum(jnp.abs(xt2), jnp.abs(br))
+        bl = -fsign_mul(xt2, fmin(fabs(xt2), fabs(bl)))
+        br = fsign_mul(xt2, fmin(fabs(xt2), fabs(br)))
     elif iord in (9, 10, 12, 13):
         dq = jnp.zeros_like(q).at[..., 0:ic - 1].set(
             2.0 * (q[..., 1:ic] - q[..., 0:ic - 1])
@@ -180,18 +182,18 @@ def _bl_br_high(q, dxa, iord):
         noisy = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
         pmp_2 = dqm1
         lac_2 = pmp_2 - 0.75 * dqm2
-        br_l = jnp.minimum(
-            jnp.maximum(0.0, jnp.maximum(pmp_2, lac_2)),
-            jnp.maximum(br, jnp.minimum(0.0, jnp.minimum(pmp_2, lac_2))),
+        br_l = fmin(
+            fmax(0.0, fmax(pmp_2, lac_2)),
+            fmax(br, fmin(0.0, fmin(pmp_2, lac_2))),
         )
         pmp_1 = -dq
         lac_1 = pmp_1 + 0.75 * dqp1
-        bl_l = jnp.minimum(
-            jnp.maximum(0.0, jnp.maximum(pmp_1, lac_1)),
-            jnp.maximum(bl, jnp.minimum(0.0, jnp.minimum(pmp_1, lac_1))),
+        bl_l = fmin(
+            fmax(0.0, fmax(pmp_1, lac_1)),
+            fmax(bl, fmin(0.0, fmin(pmp_1, lac_1))),
         )
-        bl = jnp.where(flat, 0.0, jnp.where(noisy, bl_l, bl))
-        br = jnp.where(flat, 0.0, jnp.where(noisy, br_l, br))
+        bl = fwhere(flat, 0.0, fwhere(noisy, bl_l, bl))
+        br = fwhere(flat, 0.0, fwhere(noisy, br_l, br))
     if iord in (9, 13):  # additional positive-definite constraint
         bl, br = pert_ppm(q, bl, br, 0)
 
@@ -203,18 +205,18 @@ def _bl_br_high(q, dxa, iord):
     brv = br
     bl0 = S14 * dm[..., i0 - 1] + S11 * (q[..., i0 - 1] - q[..., i0])
     xt = _edge_interp(q, dxa, e_w)
-    xt = jnp.maximum(
+    xt = fmax(
         xt,
-        jnp.minimum(
-            jnp.minimum(q[..., i0 - 1], q[..., i0]),
-            jnp.minimum(q[..., i0 + 1], q[..., i0 + 2]),
+        fmin(
+            fmin(q[..., i0 - 1], q[..., i0]),
+            fmin(q[..., i0 + 1], q[..., i0 + 2]),
         ),
     )
-    xt = jnp.minimum(
+    xt = fmin(
         xt,
-        jnp.maximum(
-            jnp.maximum(q[..., i0 - 1], q[..., i0]),
-            jnp.maximum(q[..., i0 + 1], q[..., i0 + 2]),
+        fmax(
+            fmax(q[..., i0 - 1], q[..., i0]),
+            fmax(q[..., i0 + 1], q[..., i0 + 2]),
         ),
     )
     br0 = xt - q[..., i0]
@@ -246,18 +248,18 @@ def _bl_br_high(q, dxa, iord):
     brN0 = xtN - q[..., iN]
     blN1 = xtN - q[..., iN + 1]
     xtE = _edge_interp(q, dxa, e_e)
-    xtE = jnp.maximum(
+    xtE = fmax(
         xtE,
-        jnp.minimum(
-            jnp.minimum(q[..., iN], q[..., iN + 1]),
-            jnp.minimum(q[..., iN + 2], q[..., iN + 3]),
+        fmin(
+            fmin(q[..., iN], q[..., iN + 1]),
+            fmin(q[..., iN + 2], q[..., iN + 3]),
         ),
     )
-    xtE = jnp.minimum(
+    xtE = fmin(
         xtE,
-        jnp.maximum(
-            jnp.maximum(q[..., iN], q[..., iN + 1]),
-            jnp.maximum(q[..., iN + 2], q[..., iN + 3]),
+        fmax(
+            fmax(q[..., iN], q[..., iN + 1]),
+            fmax(q[..., iN + 2], q[..., iN + 3]),
         ),
     )
     brN1 = xtE - q[..., iN + 1]
@@ -287,7 +289,7 @@ def _flux_from_blbr(q, c, bl, br, e0, e1):
     b0R = blR + brR
     fpos = qL + (1.0 - c) * (brL - c * b0L)
     fneg = qR + (1.0 + c) * (blR + c * b0R)
-    return jnp.where(c > 0.0, fpos, fneg)
+    return fwhere(c > 0.0, fpos, fneg)
 
 
 def xppm(q, c, iord, dxa, e0=None, e1=None):
@@ -295,7 +297,17 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
 
     Default edge range is the compute range [NG, NG+n+1] (Fortran is..ie+1).
     Returns flux with width e1-e0.
+
+    `iord` may be a per-level blend `(iord_main, iord_sponge, mask_k)` with
+    mask_k an (npz,1,1,1) bool selecting the sponge scheme — the TLM's
+    perturbation sponge-layer override (dyn_core_tlm.F90:861-875) in
+    single-trace masked form.
     """
+    if isinstance(iord, tuple):
+        main, sponge, mask = iord
+        fa = xppm(q, c, main, dxa, e0, e1)
+        fb = xppm(q, c, sponge, dxa, e0, e1)
+        return jnp.where(mask, fb, fa)
     ic = q.shape[-1]
     n = ic - 2 * NG
     if e0 is None:
@@ -305,7 +317,7 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
     if iord == 1:
         qL = q[..., e0 - 1:e1 - 1]
         qR = q[..., e0:e1]
-        return jnp.where(c > 0.0, qL, qR)
+        return fwhere(c > 0.0, qL, qR)
 
     if iord < 8:
         bl, br = _bl_br_low(q, dxa, iord)
@@ -321,6 +333,9 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
             smt5 = bl * br < 0.0
         else:  # 6
             smt5 = 3.0 * x0 < x1
+        smt5 = fbool(smt5)
+        if iord in (3, 4):
+            smt6 = fbool(smt6)
         qL = q[..., e0 - 1:e1 - 1]
         qR = q[..., e0:e1]
         blL = bl[..., e0 - 1:e1 - 1]
@@ -338,17 +353,17 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
                 smt6L | smt5R,
                 brL - c * b0L,
                 jnp.where(
-                    smt5L, jnp.sign(brL) * jnp.minimum(jnp.abs(blL), jnp.abs(brL)), 0.0
+                    smt5L, fsign_mul(brL, fmin(fabs(blL), fabs(brL))), 0.0
                 ),
             )
             fx1n = jnp.where(
                 smt6R | smt5L,
                 blR + c * b0R,
                 jnp.where(
-                    smt5R, jnp.sign(blR) * jnp.minimum(jnp.abs(blR), jnp.abs(brR)), 0.0
+                    smt5R, fsign_mul(blR, fmin(fabs(blR), fabs(brR))), 0.0
                 ),
             )
-            return jnp.where(
+            return fwhere(
                 c > 0.0,
                 qL + (1.0 - c) * fx1p,
                 qR + (1.0 + c) * fx1n,
@@ -360,14 +375,15 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
             smt6R = smt6[..., e0:e1]
             fx1p = jnp.where(smt6L | smt5R, (1.0 - c) * (brL - c * b0L), 0.0)
             fx1n = jnp.where(smt6R | smt5L, (1.0 + c) * (blR + c * b0R), 0.0)
-            return jnp.where(c > 0.0, qL + fx1p, qR + fx1n)
+            return fwhere(c > 0.0, qL + fx1p, qR + fx1n)
         # iord 5, 6
         smt5L = smt5[..., e0 - 1:e1 - 1]
         smt5R = smt5[..., e0:e1]
+        cpos = fbool(c > 0.0)
         fx1 = jnp.where(
-            c > 0.0, (1.0 - c) * (brL - c * b0L), (1.0 + c) * (blR + c * b0R)
+            cpos, (1.0 - c) * (brL - c * b0L), (1.0 + c) * (blR + c * b0R)
         )
-        base = jnp.where(c > 0.0, qL, qR)
+        base = jnp.where(cpos, qL, qR)
         return base + jnp.where(smt5L | smt5R, fx1, 0.0)
 
     bl, br = _bl_br_high(q, dxa, iord)

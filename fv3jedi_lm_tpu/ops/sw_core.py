@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import NG
+from ..core.freeze import fbool, fwhere
 
 R3 = 1.0 / 3.0
 NEAR_ZERO = 1.0e-9         # KE limiter threshold (sw_core_nlm.F90:37)
@@ -163,7 +164,7 @@ def d2a2c_vect(u, v, grid, npx):
             sg1 = sin_sg[0][..., :, p(npx)]
         ute = _edge_interpolate4(ua4, dx4)
         ut = ut.at[..., :, ei].set(ute)
-        uc = uc.at[..., :, ei].set(jnp.where(ute > 0.0, ute * sg3, ute * sg1))
+        uc = uc.at[..., :, ei].set(fwhere(ute > 0.0, ute * sg3, ute * sg1))
         ut = ut.at[..., :, ei - 1].set(
             (uc[..., :, ei - 1] - v[..., :, ei - 1] * cosa_u[..., :, ei - 1])
             * rsin_u[..., :, ei - 1]
@@ -230,7 +231,7 @@ def d2a2c_vect(u, v, grid, npx):
             sg2 = sin_sg[1][..., p(npy), :]
         vte = _edge_interpolate4(va4, dy4)
         vt = vt.at[..., ej, :].set(vte)
-        vc = vc.at[..., ej, :].set(jnp.where(vte > 0.0, vte * sg4, vte * sg2))
+        vc = vc.at[..., ej, :].set(fwhere(vte > 0.0, vte * sg4, vte * sg2))
         vt = vt.at[..., ej - 1, :].set(
             (vc[..., ej - 1, :] - u[..., ej - 1, :] * cosa_v[..., ej - 1, :])
             * rsin_v[..., ej - 1, :]
@@ -460,13 +461,13 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     # ---- courant-like transport winds (sw_core_nlm.F90:160-180) ----
     # ut(i,j) = dt2*ut*dy*sin_sg(i-1 or i, j, 3 or 1), edge-aligned cols
     ut_s = jnp.zeros_like(ut)
-    sel = ut[..., :, 1:jc] > 0.0
+    sel = fbool(ut[..., :, 1:jc] > 0.0)
     ut_s = ut_s.at[..., :, 1:jc].set(
         dt2 * ut[..., :, 1:jc] * dy[..., :, 1:jc]
         * jnp.where(sel, sin_sg[2][..., :, 0:jc - 1], sin_sg[0][..., :, 1:jc])
     )
     vt_s = jnp.zeros_like(vt)
-    selv = vt[..., 1:jc, :] > 0.0
+    selv = fbool(vt[..., 1:jc, :] > 0.0)
     vt_s = vt_s.at[..., 1:jc, :].set(
         dt2 * vt[..., 1:jc, :] * dx[..., 1:jc, :]
         * jnp.where(selv, sin_sg[3][..., 0:jc - 1, :], sin_sg[1][..., 1:jc, :])
@@ -477,7 +478,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     # ---- transport delp / pt / w (sw_core_nlm.F90:182-284) ----
     delp_x, pt_x = fill2_4corners(delp, pt, 1, npx)
     w_x = fill_4corners(w, 1, npx) if not hydrostatic else w
-    selx = ut[..., :, 1:jc] > 0.0
+    selx = fbool(ut[..., :, 1:jc] > 0.0)
     fx1 = jnp.zeros_like(ut)
     fx1 = fx1.at[..., :, 1:jc].set(
         ut[..., :, 1:jc]
@@ -497,7 +498,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
 
     delp_y, pt_y = fill2_4corners(delp, pt, 2, npx)
     w_y = fill_4corners(w, 2, npx) if not hydrostatic else w
-    sely = vt[..., 1:jc, :] > 0.0
+    sely = fbool(vt[..., 1:jc, :] > 0.0)
     fy1 = jnp.zeros_like(vt)
     fy1 = fy1.at[..., 1:jc, :].set(
         vt[..., 1:jc, :]
@@ -569,7 +570,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     ke_neg = ke_neg.at[..., :, npx - 1].set(
         uc_n * sin_sg[2][..., cs, p(npx - 1)] + v_n * cos_sg[2][..., cs, p(npx - 1)]
     )
-    ke_x = jnp.where(ua[..., cs, cs] > 0.0, ke_pos, ke_neg)
+    ke_x = fwhere(ua[..., cs, cs] > 0.0, ke_pos, ke_neg)
 
     vo_pos = vc[..., p(0):p(n + 1) + 1, cs]
     vo_neg = vc[..., p(1):p(n + 2) + 1, cs]
@@ -589,7 +590,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     vo_neg = vo_neg.at[..., npy - 1, :].set(
         vc_n * sin_sg[3][..., p(npy - 1), cs] + u_n * cos_sg[3][..., p(npy - 1), cs]
     )
-    ke_y = jnp.where(va[..., cs, cs] > 0.0, vo_pos, vo_neg)
+    ke_y = fwhere(va[..., cs, cs] > 0.0, vo_pos, vo_neg)
 
     dt4 = 0.5 * dt2
     ke = jnp.zeros_like(delp)
@@ -634,7 +635,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     fy1 = fy1.at[..., :, 0].set(dt2 * v[..., rs, p(1)])
     fy1 = fy1.at[..., :, npx - 1].set(dt2 * v[..., rs, p(npx)])
     # upwind vort_b along y: for cell row j, rows j / j+1 of B
-    fyv = jnp.where(fy1 > 0.0, vort_b[..., 0:n, :], vort_b[..., 1:n + 1, :])
+    fyv = fwhere(fy1 > 0.0, vort_b[..., 0:n, :], vort_b[..., 1:n + 1, :])
 
     # fx1 at vc positions, rows B 1..npy, cols cells 1..n
     fx1v = dt2 * (
@@ -642,7 +643,7 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
     ) / sina_v[..., bs, rs]
     fx1v = fx1v.at[..., 0, :].set(dt2 * u[..., p(1), rs])
     fx1v = fx1v.at[..., npy - 1, :].set(dt2 * u[..., p(npy), rs])
-    fxv = jnp.where(fx1v > 0.0, vort_b[..., :, 0:n], vort_b[..., :, 1:n + 1])
+    fxv = fwhere(fx1v > 0.0, vort_b[..., :, 0:n], vort_b[..., :, 1:n + 1])
 
     uc_new = uc.at[..., rs, bs].add(
         fy1 * fyv

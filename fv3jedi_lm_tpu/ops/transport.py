@@ -39,7 +39,11 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, grid, topo, ra_x, ra_y,
       override of dyn_core_nlm.F90:536-630).
     """
     n = q.shape[-1] - 2 * NG
-    ord_in = 8 if hord == 10 else hord
+    if isinstance(hord, tuple):
+        hm, hs, hmask = hord
+        ord_in = (8 if hm == 10 else hm, 8 if hs == 10 else hs, hmask)
+    else:
+        ord_in = 8 if hord == 10 else hord
     ord_ou = hord
 
     dxa = grid["dxa"]

@@ -1,9 +1,14 @@
 """Facade-level correctness gates (SURVEY.md section 4):
 
-* TL/AD dot-product identity <M dx, dy> == <dx, M^T dy> (the reference's
-  operative contract, enforced by fv3-jedi's ctest through OOPS);
-* TLM linearity/consistency: ||M(x+eps dx) - M(x) - eps M'dx|| = O(eps^2);
-* nonlinear rest-state stability.
+* TL/AD dot-product identity <M dx, dy> == <dx, M^T dy> with the
+  reference-default split linearization options ON (the production
+  configuration: pert advection hord_*_pert=2, pert remap kord_*_pert=17,
+  split damping — fv_arrays_tlmadm.F90:37-92);
+* split_* = False consistency: the TLM reduces to the exact jvp of the
+  nonlinear step (fv_control_tlmadm.F90:220-252 — trajectory adopts the
+  pert coefficients, so TLM == derivative of the one shared operator);
+* TLM linearity/consistency against finite differences of the NLM;
+* nonlinear rest-state stability + mass conservation.
 """
 
 import jax
@@ -14,19 +19,30 @@ import pytest
 from fv3jedi_lm_tpu.config import DynConfig, LMConfig
 from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
 
+DYN_KW = dict(npx=13, npy=13, npz=10, n_split=2, k_split=1,
+              d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=3,
+              n_sponge_pert=4, d2_bg_k1_pert=0.2, d2_bg_k2_pert=0.1,
+              d2_bg_ks_pert=0.1)
+
 
 @pytest.fixture(scope="module")
 def lm():
+    """Production configuration: split linearization ON (reference default)."""
+    return LinearModel.create(LMConfig(dyn=DynConfig(**DYN_KW), dt=450.0))
+
+
+@pytest.fixture(scope="module")
+def lm_nosplit():
+    """split_* = False: traj adopts pert coefficients; TLM == jvp of NLM."""
     cfg = LMConfig(
-        dyn=DynConfig(npx=13, npy=13, npz=10, n_split=2, k_split=1,
-                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=3),
+        dyn=DynConfig(**DYN_KW, split_hord=False, split_kord=False,
+                      split_damp=False, split_damp_tr=False),
         dt=450.0,
     )
     return LinearModel.create(cfg)
 
 
-@pytest.fixture(scope="module")
-def traj(lm):
+def _spun_up(lm):
     """Smooth spun-up trajectory.
 
     Grid-scale white noise puts a large fraction of upwind/limiter switches
@@ -56,6 +72,16 @@ def traj(lm):
     return tr
 
 
+@pytest.fixture(scope="module")
+def traj(lm):
+    return _spun_up(lm)
+
+
+@pytest.fixture(scope="module")
+def traj_nosplit(lm_nosplit):
+    return _spun_up(lm_nosplit)
+
+
 def _rand_pert(lm, seed):
     rng = np.random.default_rng(seed)
     p = lm.zero_pert()
@@ -80,7 +106,8 @@ def test_rest_state_stays_at_rest(lm):
 
 
 def test_dot_product_identity(lm, traj):
-    """<M dx, dy> == <dx, M^T dy> to near machine precision (f64)."""
+    """<M dx, dy> == <dx, M^T dy> to near machine precision (f64), with the
+    reference-default split linearization ON."""
     dx = _rand_pert(lm, 1)
     dy = _rand_pert(lm, 2)
     mdx = lm.step_tl(traj, dx)
@@ -91,8 +118,36 @@ def test_dot_product_identity(lm, traj):
     assert rel < 1e-12, (lhs, rhs, rel)
 
 
-def test_tlm_linearity(lm, traj):
-    """||M(x + e dx) - M(x) - e M' dx|| / (e ||M' dx||) -> O(e)."""
+def test_dot_product_identity_nosplit(lm_nosplit, traj_nosplit):
+    dx = _rand_pert(lm_nosplit, 5)
+    dy = _rand_pert(lm_nosplit, 6)
+    mdx = lm_nosplit.step_tl(traj_nosplit, dx)
+    mtdy = lm_nosplit.step_ad(traj_nosplit, dy)
+    lhs = float(_dot(mdx, dy))
+    rhs = float(_dot(dx, mtdy))
+    rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
+    assert rel < 1e-12, (lhs, rhs, rel)
+
+
+def test_nosplit_tl_is_jvp_of_nlm(lm_nosplit, traj_nosplit):
+    """With split_* off the TLM is the exact jvp of the nonlinear step
+    (up to frozen-branch tie lanes, which are measure-zero on this traj)."""
+    lm = lm_nosplit
+    traj = traj_nosplit
+    dx = _rand_pert(lm, 7)
+    tl = lm.step_tl(traj, dx)
+    prog = {k: traj[k] for k in PROG_3D}
+    _, jv = jax.jvp(lambda pr: lm._step_fn(pr, traj["phis"]), (prog,), (dx,))
+    num = sum(float(jnp.sum((tl[k] - jv[k]) ** 2)) for k in PROG_3D)
+    den = sum(float(jnp.sum(jv[k] ** 2)) for k in PROG_3D)
+    assert (num / max(den, 1e-300)) ** 0.5 < 1e-10
+
+
+def test_tlm_linearity(lm_nosplit, traj_nosplit):
+    """||M(x + e dx) - M(x) - e M' dx|| / (e ||M' dx||) -> O(e), in the
+    split-off configuration where the TLM is the NLM derivative."""
+    lm = lm_nosplit
+    traj = traj_nosplit
     dx = _rand_pert(lm, 3)
     base = lm.step_nl(traj)
     tl = lm.step_tl(traj, dx)
@@ -113,19 +168,16 @@ def test_tlm_linearity(lm, traj):
     e1 = rel_err(1e-4)
     e2 = rel_err(1e-6)
     assert e1 < 1e-2, e1
-    # The NLM is only piecewise differentiable (monotone PPM limiters and
-    # upwind switches flip branches under any finite eps), so the FD error
-    # has a switch-noise floor and cannot shrink linearly in eps — this is
-    # exactly why the reference runs *linear* advection/remap schemes on the
-    # perturbations (fv_arrays_tlmadm.F90:37-92).  Require only that the
-    # error does not grow as eps shrinks; exact TL/AD correctness is covered
-    # by the dot-product identity test.
+    # The NLM is only piecewise differentiable (upwind switches flip
+    # branches under any finite eps), so the FD error has a switch-noise
+    # floor and cannot shrink linearly in eps forever.  Require only that
+    # the error does not grow as eps shrinks; exact TL/AD correctness is
+    # covered by the dot-product identity test.
     assert e2 < max(1.2 * e1, 1e-7), (e1, e2)
 
 
 def test_adjoint_of_tl_is_involutive(lm, traj):
-    """M^T applied twice via vjp-of-jvp consistency: <M^T y, M^T y> > 0 and
-    matches <y, M M^T y> through the dot-product identity."""
+    """<M^T y, M^T y> > 0 and matches <y, M M^T y> through the identity."""
     dy = _rand_pert(lm, 4)
     mtdy = lm.step_ad(traj, dy)
     m_mtdy = lm.step_tl(traj, mtdy)
