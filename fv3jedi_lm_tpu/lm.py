@@ -46,6 +46,12 @@ from .parallel import halo
 
 TRACERS = ("qv", "ql", "qi", "o3")  # ncnst=4 (fv3jedi_lm_dynamics_mod.F90:159-167)
 PROG_3D = ("u", "v", "t", "delp") + TRACERS
+#: 2-D surface trajectory fields consumed by the physics
+#: (fv3jedi_lm_traj, src/utils/fv3jedi_lm_utils_mod.F90:43-54)
+SURFACE_2D = ("frland", "frocean", "varflt", "zpbl", "cm", "ct", "cq",
+              "ustar", "bstar", "ts", "kcbl", "khl", "khu")
+#: fields the turbulence diffusion acts on (fv3jedi_lm_turbulence_mod.F90:192-198)
+PHYS_FIELDS = ("u", "v", "t", "qv", "qi", "ql", "o3")
 
 
 class LinearModel:
@@ -81,6 +87,14 @@ class LinearModel:
         from collections import OrderedDict
         self._traj_cache = OrderedDict()
         self._traj_cache_max = (cfg.nt + 1) if cfg.saveltraj else 1
+        if cfg.do_phy_trb:
+            from .physics.turbulence import Turbulence
+            self._turb = Turbulence(dyn, self.ak, self.bk)
+        else:
+            self._turb = None
+        self._jit_turb_ltraj = None
+        self._jit_phys_tl = None
+        self._jit_phys_ad = None
 
     # -- construction helpers ------------------------------------------------
 
@@ -112,6 +126,8 @@ class LinearModel:
         )
         tr["t"] = jnp.full_like(tr["t"], t0)
         tr["phis"] = jnp.zeros((6, n, n), self.dtype)
+        for f in SURFACE_2D:
+            tr[f] = jnp.zeros((6, n, n), self.dtype)
         return tr
 
     # -- marshalling (traj_to_fv3 / fv3_to_traj analogues) --------------------
@@ -207,12 +223,48 @@ class LinearModel:
             return hit
         stepper = self._staged()
         prog = {k: traj[k] for k in PROG_3D}
-        _, cks = stepper.forward(prog, traj["phis"])
+        out, cks = stepper.forward(prog, traj["phis"])
         tapes = stepper.record(cks)
-        self._traj_cache[key] = (cks, tapes)
+        ltraj = self._turb_ltraj(out, traj) if self._turb is not None else None
+        self._traj_cache[key] = (cks, tapes, ltraj)
         while len(self._traj_cache) > self._traj_cache_max:
             self._traj_cache.popitem(last=False)
-        return cks, tapes
+        return cks, tapes, ltraj
+
+    # -- physics (turbulence) --------------------------------------------------
+
+    def _turb_ltraj(self, post_dyn_prog: dict, traj: dict):
+        """Frozen-K turbulence coefficients linearized at the post-dynamics
+        state (the reference physics step runs after the dynamics has
+        updated traj, fv3jedi_lm_mod.F90:148-157)."""
+        if self._jit_turb_ltraj is None:
+            def f(prog, sfc):
+                tr = dict(prog, **sfc)
+                return self._turb.set_ltraj(tr, self.cfg.dt,
+                                            do_phy_mst=self.cfg.do_phy_mst)
+            self._jit_turb_ltraj = jax.jit(f)
+        n = self.cfg.dyn.nx
+        sfc = {f: traj.get(f, jnp.zeros((6, n, n), self.dtype))
+               for f in SURFACE_2D}
+        return self._jit_turb_ltraj(post_dyn_prog, sfc)
+
+    def _phys_apply(self, ltraj, prog):
+        """Apply the (linear) frozen-K turbulence diffusion to a prog dict,
+        then restore shared D-edge single ownership (the reference refreshes
+        those at the next dynamics entry via mpp_get_boundary)."""
+        n = self.cfg.dyn.nx
+        fs = {k: prog[k] for k in ("t", "qv", "qi", "ql", "o3")}
+        fs["u"] = prog["u"][..., :n, :]
+        fs["v"] = prog["v"][..., :, :n]
+        out = self._turb.apply(ltraj, fs)
+        u = prog["u"].at[..., :n, :].set(out["u"])
+        v = prog["v"].at[..., :, :n].set(out["v"])
+        st, _ = self._pad(dict(prog, u=u, v=v))
+        cs = slice(NG, NG + n)
+        bs = slice(NG, NG + n + 1)
+        return dict(prog, u=st["u"][:, :, bs, cs], v=st["v"][:, :, cs, bs],
+                    t=out["t"], qv=out["qv"], qi=out["qi"], ql=out["ql"],
+                    o3=out["o3"])
 
     # -- public stepping API ---------------------------------------------------
 
@@ -223,7 +275,15 @@ class LinearModel:
         phis = traj["phis"]
         prog = {k: traj[k] for k in PROG_3D}
         out = self._jit_nl(prog, phis)
+        if self._turb is not None:
+            ltraj = self._turb_ltraj(out, traj)
+            if self._jit_phys_tl is None:
+                self._jit_phys_tl = jax.jit(self._phys_apply)
+            out = self._jit_phys_tl(ltraj, out)
         out["phis"] = phis
+        for f in SURFACE_2D:
+            if f in traj:
+                out[f] = traj[f]
         return out
 
     def step_tl(self, traj: dict, pert: dict) -> dict:
@@ -238,8 +298,13 @@ class LinearModel:
         """
         prog = {k: traj[k] for k in PROG_3D}
         p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
-        cks, tapes = self._ckpts(traj)
-        return self._staged().tl(prog, traj["phis"], p, cks, tapes)
+        cks, tapes, ltraj = self._ckpts(traj)
+        p = self._staged().tl(prog, traj["phis"], p, cks, tapes)
+        if self._turb is not None:
+            if self._jit_phys_tl is None:
+                self._jit_phys_tl = jax.jit(self._phys_apply)
+            p = self._jit_phys_tl(ltraj, p)
+        return p
 
     def step_ad(self, traj: dict, pert_ad: dict) -> dict:
         """Adjoint step: pert_bar = M(traj)^T @ pert_ad (fv3jedi_lm_mod.F90:176).
@@ -251,8 +316,19 @@ class LinearModel:
         runtime for the same contract."""
         prog = {k: traj[k] for k in PROG_3D}
         pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
-        cks, tapes = self._ckpts(traj)
+        cks, tapes, ltraj = self._ckpts(traj)
+        if self._turb is not None:
+            if self._jit_phys_ad is None:
+                self._jit_phys_ad = jax.jit(
+                    lambda lt, f: self._turb_apply_transpose(lt, f))
+            pb = self._jit_phys_ad(ltraj, pb)
         return self._staged().ad(prog, traj["phis"], pb, cks, tapes)
+
+    def _turb_apply_transpose(self, ltraj, pb):
+        """Exact transpose of _phys_apply (the reference's vtrisolvepert
+        phase-2 sweeps, fv3jedi_lm_turbulence_mod.F90:286-350)."""
+        _, vjp = jax.vjp(lambda f: self._phys_apply(ltraj, f), pb)
+        return vjp(dict(pb))[0]
 
     # -- window (4D-Var inner-loop) driver -------------------------------------
     #
