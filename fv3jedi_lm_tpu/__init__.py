@@ -1,12 +1,16 @@
 """fv3jedi_lm_tpu: a TPU-native tangent-linear / adjoint FV3 dynamical core.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+A from-scratch JAX/XLA re-design of the capabilities of
 l90lpa/fv3-jedi-linearmodel (NASA GMAO's FV3 TLM/ADM used by FV3-JEDI 4D-Var):
 
-* nonlinear cubed-sphere finite-volume dynamical core (trajectory propagation)
-* tangent-linear model with linearization-specific numerics options
-* exact adjoint via linear transposition of the TL operator
-* simplified GEOS physics linearizations (boundary layer, moist)
+* nonlinear hydrostatic cubed-sphere finite-volume core (trajectory
+  propagation)
+* tangent-linear model with the pert-split linearization numerics
+  (hord_*_pert / kord_*_pert / split damping)
+* adjoint as the exact transpose of the TL operator (frozen branch tapes)
+* GEOS physics linearizations: Louis/Lock boundary layer (frozen-K
+  tridiagonal solves) and RAS convection with DOCONVEC/Jacobian filters
+  (the cloud scheme is not yet implemented — see README.md)
 
 Layout conventions (all pure-functional, jit-friendly):
 * 3-D fields are arrays of shape ``(npz, 6, jdim, idim)`` — level, face, y, x
