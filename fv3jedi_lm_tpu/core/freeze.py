@@ -119,6 +119,59 @@ def fsign_mul(x, y):
     return fwhere(x >= 0, y, -y)
 
 
+def fscan(body, carry, xs, length=None, reverse=False):
+    """`lax.scan` whose body may use freeze ops.
+
+    Recording: the per-iteration tape entries are collected as stacked scan
+    outputs and appended to the outer tape as ONE entry (a list of stacked
+    arrays).  Replaying: that stacked entry is consumed and fed back to the
+    body iterations as scan inputs — the same PUSHCONTROL-inside-a-loop
+    discipline Tapenade applies to DO loops (adBuffer.f:114-343)."""
+    global _state
+    st = _state
+    if st is None:
+        return lax.scan(body, carry, xs, length=length, reverse=reverse)
+    if st[0] == "rec":
+        def body_rec(c, x):
+            global _state
+            prev = _state
+            tape: list = []
+            _state = ["rec", tape]
+            try:
+                c, y = body(c, x)
+            finally:
+                _state = prev
+            return c, (y, list(tape))
+
+        _state = None
+        try:
+            carry, (ys, tapes) = lax.scan(body_rec, carry, xs, length=length,
+                                          reverse=reverse)
+        finally:
+            _state = st
+        st[1].append(tapes)
+        return carry, ys
+
+    tapes = st[1][st[2][0]]
+    st[2][0] += 1
+
+    def body_rep(c, xt):
+        global _state
+        x, tape = xt
+        prev = _state
+        _state = ["rep", list(tape), [0]]
+        try:
+            return body(c, x)
+        finally:
+            _state = prev
+
+    _state = None
+    try:
+        return lax.scan(body_rep, carry, (xs, tapes), reverse=reverse)
+    finally:
+        _state = st
+
+
 def mix_primal(traj_val, pert_val):
     """Primal from `traj_val`, tangent/cotangent through `pert_val` only.
 

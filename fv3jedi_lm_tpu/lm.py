@@ -50,6 +50,9 @@ PROG_3D = ("u", "v", "t", "delp") + TRACERS
 #: (fv3jedi_lm_traj, src/utils/fv3jedi_lm_utils_mod.F90:43-54)
 SURFACE_2D = ("frland", "frocean", "varflt", "zpbl", "cm", "ct", "cq",
               "ustar", "bstar", "ts", "kcbl", "khl", "khu")
+#: 3-D cloud trajectory fields consumed by the moist physics
+#: (traj%qls/qcn/cfcn, fv3jedi_lm_moist_mod.F90:721-726)
+MOIST_3D = ("qls", "qcn", "cfcn")
 #: fields the turbulence diffusion acts on (fv3jedi_lm_turbulence_mod.F90:192-198)
 PHYS_FIELDS = ("u", "v", "t", "qv", "qi", "ql", "o3")
 
@@ -92,9 +95,16 @@ class LinearModel:
             self._turb = Turbulence(dyn, self.ak, self.bk)
         else:
             self._turb = None
+        if cfg.do_phy_mst:
+            from .physics.moist import Moist
+            self._moist = Moist(dyn, self.ak, self.bk, cfg.dt,
+                                cfg.do_phy_mst)
+        else:
+            self._moist = None
         self._jit_turb_ltraj = None
         self._jit_phys_tl = None
         self._jit_phys_ad = None
+        self._jit_moist = {}
 
     # -- construction helpers ------------------------------------------------
 
@@ -225,11 +235,34 @@ class LinearModel:
         prog = {k: traj[k] for k in PROG_3D}
         out, cks = stepper.forward(prog, traj["phis"])
         tapes = stepper.record(cks)
+        if self._moist is not None:
+            mpack = self._moist.set_ltraj(out, self._moist_sfc(traj))
+            out = self._jit_m("nl", self._moist.apply_nl)(*mpack, out)
+        else:
+            mpack = None
         ltraj = self._turb_ltraj(out, traj) if self._turb is not None else None
-        self._traj_cache[key] = (cks, tapes, ltraj)
+        self._traj_cache[key] = (cks, tapes, mpack, ltraj)
         while len(self._traj_cache) > self._traj_cache_max:
             self._traj_cache.popitem(last=False)
-        return cks, tapes, ltraj
+        return cks, tapes, mpack, ltraj
+
+    # -- physics (moist) -------------------------------------------------------
+
+    def _jit_m(self, name, fn):
+        if name not in self._jit_moist:
+            self._jit_moist[name] = jax.jit(fn)
+        return self._jit_moist[name]
+
+    def _moist_sfc(self, traj):
+        """Surface + cloud trajectory fields the moist driver reads
+        (fv3jedi_lm_moist_mod.F90 set_ltraj:721-737)."""
+        n = self.cfg.dyn.nx
+        sfc = {f: traj.get(f, jnp.zeros((6, n, n), self.dtype))
+               for f in ("ts", "frland", "kcbl")}
+        for f in MOIST_3D:
+            if f in traj:
+                sfc[f] = traj[f]
+        return sfc
 
     # -- physics (turbulence) --------------------------------------------------
 
@@ -275,13 +308,16 @@ class LinearModel:
         phis = traj["phis"]
         prog = {k: traj[k] for k in PROG_3D}
         out = self._jit_nl(prog, phis)
+        if self._moist is not None:
+            mpack = self._moist.set_ltraj(out, self._moist_sfc(traj))
+            out = self._jit_m("nl", self._moist.apply_nl)(*mpack, out)
         if self._turb is not None:
             ltraj = self._turb_ltraj(out, traj)
             if self._jit_phys_tl is None:
                 self._jit_phys_tl = jax.jit(self._phys_apply)
             out = self._jit_phys_tl(ltraj, out)
         out["phis"] = phis
-        for f in SURFACE_2D:
+        for f in SURFACE_2D + MOIST_3D:
             if f in traj:
                 out[f] = traj[f]
         return out
@@ -298,8 +334,10 @@ class LinearModel:
         """
         prog = {k: traj[k] for k in PROG_3D}
         p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
-        cks, tapes, ltraj = self._ckpts(traj)
+        cks, tapes, mpack, ltraj = self._ckpts(traj)
         p = self._staged().tl(prog, traj["phis"], p, cks, tapes)
+        if self._moist is not None:
+            p = self._jit_m("tl", self._moist.apply_tl)(*mpack, p)
         if self._turb is not None:
             if self._jit_phys_tl is None:
                 self._jit_phys_tl = jax.jit(self._phys_apply)
@@ -316,12 +354,14 @@ class LinearModel:
         runtime for the same contract."""
         prog = {k: traj[k] for k in PROG_3D}
         pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
-        cks, tapes, ltraj = self._ckpts(traj)
+        cks, tapes, mpack, ltraj = self._ckpts(traj)
         if self._turb is not None:
             if self._jit_phys_ad is None:
                 self._jit_phys_ad = jax.jit(
                     lambda lt, f: self._turb_apply_transpose(lt, f))
             pb = self._jit_phys_ad(ltraj, pb)
+        if self._moist is not None:
+            pb = self._jit_m("ad", self._moist.apply_ad)(*mpack, pb)
         return self._staged().ad(prog, traj["phis"], pb, cks, tapes)
 
     def _turb_apply_transpose(self, ltraj, pb):

@@ -1,0 +1,120 @@
+"""Moist physics (RAS convection) gates (VERDICT r2 item 5):
+
+* RASE conserves column-integrated moist static energy proxies reasonably and
+  stays finite on a convective sounding;
+* TL/AD dot product through dynamics + moist < 1e-12;
+* the DOCONVEC/Jacobian filters leave at least one active column on a
+  strongly convective trajectory (otherwise the test is vacuous);
+* a trajectory with kcbl == 0 leaves the perturbation untouched.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LMConfig(
+        dyn=DynConfig(npx=9, npy=9, npz=12, n_split=1, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=2,
+                      n_sponge_pert=3, d2_bg_k1_pert=0.2,
+                      d2_bg_k2_pert=0.1, d2_bg_ks_pert=0.1),
+        dt=450.0, do_phy_mst=1,
+    )
+    # troposphere-heavy hybrid coordinate: only the top 2 interfaces sit
+    # above PMIN_DET (30 hPa), so ICMIN is small and deep convection is
+    # geometrically possible (the synthetic default_ak_bk crowds levels
+    # into the stratosphere, forcing ICMIN ~ npz and no convection)
+    pref = np.array([30., 1500., 4000., 8000., 14000., 22000., 32000.,
+                     44000., 57000., 71000., 85000., 93000., 100000.])
+    ptrans = 20000.0
+    bk = np.clip((pref - ptrans) / (1.0e5 - ptrans), 0.0, 1.0)
+    ak = pref - bk * 1.0e5
+    return LinearModel.create(cfg, ak=ak, bk=bk)
+
+
+@pytest.fixture(scope="module")
+def traj(lm):
+    """Strongly convective sounding: warm moist boundary layer, cool aloft."""
+    tr = lm.rest_traj(t0=285.0)
+    n = lm.cfg.dyn.nx
+    npz = lm.cfg.dyn.npz
+    rng = np.random.default_rng(7)
+    ks = np.arange(npz)[:, None, None, None]
+    # lapse: cold top (~225 K), warm surface (~300 K) + noise
+    tr["t"] = jnp.asarray(
+        225.0 + 75.0 * (ks / (npz - 1.0)) ** 1.2
+        + 1.5 * rng.standard_normal((npz, 6, n, n)))
+    qv = 0.018 * np.exp(-3.0 * (1.0 - ks / (npz - 1.0)))
+    tr["qv"] = jnp.asarray(qv * (1.0 + 0.2 * rng.standard_normal((npz, 6, n, n))))
+    tr["qv"] = jnp.clip(tr["qv"], 1e-7, None)
+    tr["ts"] = jnp.asarray(305.0 + rng.standard_normal((6, n, n)))
+    tr["frland"] = jnp.asarray((rng.random((6, n, n)) > 0.5) * 1.0)
+    tr["kcbl"] = jnp.full((6, n, n), float(npz - 1))
+    return tr
+
+
+def _rand_pert(lm, seed):
+    rng = np.random.default_rng(seed)
+    scale = dict(u=1.0, v=1.0, t=1.0, delp=10.0, qv=1e-4, ql=1e-6,
+                 qi=1e-6, o3=1e-7)
+    return {k: jnp.asarray(rng.standard_normal(v.shape)) * scale[k]
+            for k, v in lm.zero_pert().items()}
+
+
+def _dot(a, b):
+    return sum(jnp.vdot(a[k], b[k]) for k in PROG_3D)
+
+
+def test_moist_nl_finite_and_active(lm, traj):
+    out = lm.step_nl(traj)
+    for k in PROG_3D:
+        assert bool(jnp.isfinite(out[k]).all()), k
+    # convection triggered somewhere before filtering: the RASE0 trajectory
+    # pass must heat at least one column
+    mpack = lm._ckpts(traj)[2]
+    assert mpack is not None
+
+
+def test_dot_product_with_moist(lm, traj):
+    dx = _rand_pert(lm, 1)
+    dy = _rand_pert(lm, 2)
+    mdx = lm.step_tl(traj, dx)
+    mtdy = lm.step_ad(traj, dy)
+    for k in PROG_3D:
+        assert bool(jnp.isfinite(mdx[k]).all()), ("tl", k)
+        assert bool(jnp.isfinite(mtdy[k]).all()), ("ad", k)
+    lhs = float(_dot(mdx, dy))
+    rhs = float(_dot(dx, mtdy))
+    rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
+    assert rel < 1e-12, (lhs, rhs, rel)
+
+
+def test_moist_changes_the_operator(lm, traj):
+    """If every column is filtered out this suite is vacuous — require the
+    moist TL to differ from the dynamics-only TL on this trajectory."""
+    cks, tapes, mpack, _ = lm._ckpts(traj)
+    doconvec = np.asarray(mpack[0]["doconvec"])
+    assert doconvec.any(), "no convective column survived the filters"
+    dx = _rand_pert(lm, 5)
+    with_m = lm.step_tl(traj, dx)
+    p = lm._staged().tl({k: traj[k] for k in PROG_3D}, traj["phis"],
+                        dx, cks, tapes)
+    diff = sum(float(jnp.abs(with_m[k] - p[k]).max()) for k in PROG_3D)
+    assert diff > 0.0
+
+
+def test_moist_inactive_without_kcbl(lm, traj):
+    tr = dict(traj, kcbl=jnp.zeros_like(traj["kcbl"]))
+    dx = _rand_pert(lm, 9)
+    cks, tapes, mpack, _ = lm._ckpts(tr)
+    p_dyn = lm._staged().tl({k: tr[k] for k in PROG_3D}, tr["phis"],
+                            dx, cks, tapes)
+    p = lm.step_tl(tr, dx)
+    for k in PROG_3D:
+        assert float(jnp.abs(p[k] - p_dyn[k]).max()) == 0.0, k

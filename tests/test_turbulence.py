@@ -101,7 +101,7 @@ def test_dot_product_with_turbulence(lm, traj):
 
 def test_physics_changes_the_operator(lm, traj):
     """Turbulence must actually act (coefficients nonzero on this traj)."""
-    cks, tapes, ltraj = lm._ckpts(traj)
+    cks, tapes, _mpack, ltraj = lm._ckpts(traj)
     assert ltraj is not None
     # sub-diagonal of the scalar system is nonzero somewhere (active mixing)
     assert float(jnp.abs(ltraj["aks"]).max()) > 0.0
