@@ -236,7 +236,55 @@ def post_acoustic_stage(state, carry, q, dp1, grid, topo, cfg, ak, bk, ptop,
             state, vert, q, grid, topo, cfg, ak, bk, akap, ptop, last_step,
             mode=mode,
         )
+    if last_step and cfg.tau > 0.0:
+        state = rayleigh_super(state, grid, topo, cfg, mdt * cfg.k_split,
+                               ak, bk, ptop)
     return state, q
+
+
+def rayleigh_super(state, grid, topo, cfg, bdt, ak, bk, ptop):
+    """Rayleigh friction on the top sponge levels (Rayleigh_Super,
+    fv_dynamics_nlm.F90:770-937, non-HIWPP branch, conserve=.true.).
+
+    rf(k) = dt/(tau*86400) * sin(pi/2 * log(rfc/pm)/log(rfc/ptop))^2 on the
+    contiguous band of levels with reference pressure pm < rf_cutoff; winds
+    are relaxed by 1/(1+rf) and the lost kinetic energy is returned as heat
+    (pt is TEMPERATURE at this point, end of fv_dynamics).  u2f is constant
+    per level in the reference too (its i,j dependence is vestigial), so the
+    mpp halo update of u2f collapses away.  The KE diagnostic uses c2l_ord4
+    where the reference uses c2l_ord2 (the LM carries no ord2 variant).
+    """
+    import numpy as np
+
+    npz = state["delp"].shape[0]
+    pe_ref = np.asarray(ak, np.float64) + np.asarray(bk, np.float64) * 1.0e5
+    pm = ((pe_ref[1:] - pe_ref[:-1])
+          / np.log(np.maximum(pe_ref[1:], 1e-10) / np.maximum(pe_ref[:-1], 1e-10)))
+    rf = np.zeros(npz)
+    kmax = 0
+    for k in range(npz):
+        if pm[k] < cfg.rf_cutoff:
+            rf[k] = (abs(bdt) / (cfg.tau * 86400.0)
+                     * np.sin(0.5 * np.pi * np.log(cfg.rf_cutoff / pm[k])
+                              / np.log(cfg.rf_cutoff / ptop)) ** 2)
+            kmax = k + 1
+        else:
+            break
+    if kmax == 0:
+        return state
+    dtype = state["u"].dtype
+    u2f = jnp.asarray(np.where(np.arange(npz) < kmax, 1.0 / (1.0 + rf), 1.0),
+                      dtype).reshape(npz, 1, 1, 1)
+
+    npx = cfg.npx
+    cs = SL(1, npx - 1)
+    ua, va = c2l_ord4(state["u"], state["v"], grid, topo, npx)
+    heat = (0.5 * (ua[..., cs, cs] ** 2 + va[..., cs, cs] ** 2)
+            * (1.0 - u2f ** 2)
+            / (CP_AIR - (CP_AIR * KAPPA) * ptop
+               / jnp.asarray(pm, dtype).reshape(npz, 1, 1, 1)))
+    pt = state["pt"].at[..., cs, cs].add(heat)
+    return dict(state, u=state["u"] * u2f, v=state["v"] * u2f, pt=pt)
 
 
 def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
@@ -276,6 +324,9 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     for _ in range(cfg.k_split - 1):
         state, q = remap_step(state, q, False)
     state, q = remap_step(state, q, True)
+
+    if cfg.tau > 0.0:
+        state = rayleigh_super(state, grid, topo, cfg, bdt, ak, bk, ptop)
 
     # NOTE: the reference computes ua/va lat-lon diagnostics here
     # (cubed_to_latlon, fv_dynamics_nlm.F90:738-742); they are inputs to the
