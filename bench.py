@@ -38,12 +38,35 @@ def main():
     from fv3jedi_lm_tpu.lm import LinearModel, PROG_3D
 
     plat = jax.devices()[0].platform
-    # c96L72 on an accelerator; smaller on CPU so the bench finishes fast
-    npx = 97 if plat != "cpu" else 25
-    npz = 72 if plat != "cpu" else 16
-    n_split = 6
+    # target c96L72 on an accelerator; the staged TL/AD stores per-substep
+    # checkpoints + branch tapes, so fall back to smaller grids if the chip
+    # runs out of HBM rather than failing the bench outright
+    ladder = ([(97, 72), (97, 48), (49, 72)] if plat != "cpu"
+              else [(25, 16)])
+    last_err = None
+    for npx, npz in ladder:
+        try:
+            value, n = _run_case(jax, np, npx, npz)
+            print(json.dumps({
+                "metric": f"c{n}L{npz} TLM+ADM grid-points/s per chip ({plat})",
+                "value": round(value, 1),
+                "unit": "gridpoints/s",
+                "vs_baseline": None,
+            }))
+            return
+        except Exception as e:  # noqa: BLE001 — typically RESOURCE_EXHAUSTED
+            last_err = e
+            print(f"# bench case c{npx - 1}L{npz} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+    raise last_err
+
+
+def _run_case(jax, np, npx, npz):
+    from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+    from fv3jedi_lm_tpu.lm import LinearModel
+
     cfg = LMConfig(
-        dyn=DynConfig(npx=npx, npy=npx, npz=npz, n_split=n_split, k_split=1,
+        dyn=DynConfig(npx=npx, npy=npx, npz=npz, n_split=6, k_split=1,
                       d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=6,
                       dtype="float32"),
         dt=900.0,
@@ -74,14 +97,7 @@ def main():
     dt_s = (time.perf_counter() - t0) / iters
 
     n = npx - 1
-    gridpoints = n * n * 6 * npz
-    value = gridpoints / dt_s
-    print(json.dumps({
-        "metric": f"c{n}L{npz} TLM+ADM grid-points/s per chip ({plat})",
-        "value": round(value, 1),
-        "unit": "gridpoints/s",
-        "vs_baseline": None,
-    }))
+    return n * n * 6 * npz / dt_s, n
 
 
 if __name__ == "__main__":

@@ -117,4 +117,8 @@ def test_moist_inactive_without_kcbl(lm, traj):
                             dx, cks, tapes)
     p = lm.step_tl(tr, dx)
     for k in PROG_3D:
-        assert float(jnp.abs(p[k] - p_dyn[k]).max()) == 0.0, k
+        # u/v/qv pass through bitwise; t makes the theta<->T marshalling
+        # round trip (t * p00^k/pk * pk/p00^k), which is identity only to
+        # rounding
+        tol = 1e-13 if k == "t" else 0.0
+        assert float(jnp.abs(p[k] - p_dyn[k]).max()) <= tol, k
