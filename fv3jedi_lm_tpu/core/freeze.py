@@ -37,6 +37,27 @@ from jax import lax
 _state = None  # None | ["rec", list] | ["rep", list, cursor_list]
 
 
+def _pack(pred):
+    """Bit-pack a boolean decision array for the tape (8x smaller).
+
+    The tapes dominate the adjoint's memory footprint (the reference's
+    PUSHCONTROL bits are 1-2 *bits* per decision, adBuffer.f:114-343; a
+    bool array is 8 bits per decision) — packing restores the reference's
+    packing ratio.  Integer decisions (fint) are stored raw."""
+    if getattr(pred, "dtype", None) == jnp.bool_.dtype and pred.ndim > 0:
+        return jnp.packbits(pred.reshape(-1))
+    return pred
+
+
+def _unpack(entry, pred):
+    """Undo `_pack` using the freshly traced predicate for shape/dtype."""
+    if (getattr(entry, "dtype", None) == jnp.uint8
+            and getattr(pred, "dtype", None) == jnp.bool_.dtype):
+        return jnp.unpackbits(entry, count=pred.size).reshape(
+            pred.shape).astype(bool)
+    return entry
+
+
 @contextmanager
 def recording():
     """Record every frozen decision; yields the tape (list of arrays)."""
@@ -77,12 +98,12 @@ def fbool(pred):
     if _state is None:
         return pred
     if _state[0] == "rec":
-        _state[1].append(pred)
+        _state[1].append(_pack(pred))
         return pred
     tape, cur = _state[1], _state[2]
     entry = tape[cur[0]]
     cur[0] += 1
-    return entry
+    return _unpack(entry, pred)
 
 
 def fint(idx):

@@ -115,6 +115,44 @@ class StagedStepper:
                             unpad_T=unpad_T)
         self._exe = {}
 
+        # Checkpoint-stack pruning: fields of the acoustic carry the substep
+        # OVERWRITES before ever reading them carry no linearization
+        # information, so the stacked per-substep checkpoints ("push", the
+        # Tapenade-stack analogue) store only the read set.  pe/peln/pk/pkz
+        # are recomputed by geopk from delp/pt each substep; uc/vc/divgd are
+        # rebuilt by c_sw/d2a2c_vect from u/v (sw_core_nlm.F90:77-160); w is
+        # inert on the hydrostatic path.  At c96L72 this halves the
+        # checkpoint-stack HBM footprint (NOTES_BUILD.md).
+        self._prune = ("pe", "peln", "pk", "pkz", "uc", "vc", "divgd")
+        if dyn.hydrostatic:
+            self._prune = self._prune + ("w",)
+
+    def _prune_carry(self, c):
+        return {k: v for k, v in c.items() if k not in self._prune}
+
+    def _expand_carry(self, c):
+        """Rebuild the full carry pytree from a pruned checkpoint; the
+        pruned fields are write-before-read in the substep, so zeros are a
+        valid (and exact) linearization point for them."""
+        from .. import NG
+        dyn = self.lm.cfg.dyn
+        n = dyn.nx
+        jc = n + 2 * NG
+        jb = jc + 1
+        npz = self.npz
+        dtype = self.lm.dtype
+        z = lambda *s: jnp.zeros(s, dtype)
+        full = dict(c)
+        shapes = dict(
+            pe=(npz + 1, 6, jc, jc), peln=(npz + 1, 6, jc, jc),
+            pk=(npz + 1, 6, jc, jc), pkz=(npz, 6, jc, jc),
+            uc=(npz, 6, jc, jb), vc=(npz, 6, jb, jc),
+            divgd=(npz, 6, jb, jb), w=(npz, 6, jc, jc),
+        )
+        for k in self._prune:
+            full[k] = z(*shapes[k])
+        return full
+
     def _get(self, name, fn):
         if name not in self._exe:
             self._exe[name] = jax.jit(fn)
@@ -131,7 +169,8 @@ class StagedStepper:
             st2, dp1, carry = s["pre"](st)
 
             def body(c, _):
-                return self._sub_traj(c, dict(phis=st2["phis"])), c
+                return (self._sub_traj(c, dict(phis=st2["phis"])),
+                        self._prune_carry(c))
 
             carry, cstack = lax.scan(body, carry, None, length=self.n_split)
             carries.append(cstack)
@@ -155,7 +194,8 @@ class StagedStepper:
 
             def body(_, c):
                 with freeze.recording() as tape:
-                    self._sub_mix(c, dict(phis=st2["phis"]))
+                    self._sub_mix(self._expand_carry(c),
+                                  dict(phis=st2["phis"]))
                 return None, list(tape)
 
             _, tstack = lax.scan(body, None, cks["carries"][k])
@@ -184,7 +224,8 @@ class StagedStepper:
                 c_j, tape_j = x
                 with freeze.replaying(tape_j):
                     tc = jax.jvp(self._sub_mix,
-                                 (c_j, dict(phis=st2["phis"])),
+                                 (self._expand_carry(c_j),
+                                  dict(phis=st2["phis"])),
                                  (tc, dict(phis=t_st2["phis"])))[1]
                 return tc, None
 
@@ -221,7 +262,8 @@ class StagedStepper:
                 ct_c, ct_ph = cc
                 with freeze.replaying(tape_j):
                     _, vjp_sub = jax.vjp(
-                        self._sub_mix, c_j, dict(phis=st2["phis"]))
+                        self._sub_mix, self._expand_carry(c_j),
+                        dict(phis=st2["phis"]))
                 d_c, d_cn = vjp_sub(ct_c)
                 return (d_c, ct_ph + d_cn["phis"]), None
 

@@ -220,17 +220,27 @@ class LinearModel:
             self._stepper = StagedStepper(self)
         return self._stepper
 
+    def _traj_token(self, traj):
+        """Cache key for a trajectory: the identities of its constituent
+        arrays.  The cache entry PINS those arrays (holds strong
+        references), so a key can never be reused by a different trajectory
+        while its entry is alive — unlike keying on `id(traj)`, where a
+        freed-then-reallocated dict could silently hit a stale entry."""
+        fields = PROG_3D + ("phis",)
+        return (tuple(id(traj[k]) for k in fields),
+                tuple(traj[k] for k in fields))
+
     def _ckpts(self, traj):
         """Per-trajectory stage-input checkpoints + frozen branch tapes,
-        cached by traj identity — the reference's `saveltraj`
+        cached by trajectory-array identity — the reference's `saveltraj`
         local-trajectory cache analogue (fv3jedi_lm_utils_mod.F90:30,
         turbulence/...:180-187); the tapes are its PUSHCONTROL record
         (utils/tapenade/adBuffer.f:114-343)."""
-        key = id(traj)
+        key, pins = self._traj_token(traj)
         hit = self._traj_cache.get(key)
         if hit is not None:
             self._traj_cache.move_to_end(key)
-            return hit
+            return hit[1]
         stepper = self._staged()
         prog = {k: traj[k] for k in PROG_3D}
         out, cks = stepper.forward(prog, traj["phis"])
@@ -241,7 +251,7 @@ class LinearModel:
         else:
             mpack = None
         ltraj = self._turb_ltraj(out, traj) if self._turb is not None else None
-        self._traj_cache[key] = (cks, tapes, mpack, ltraj)
+        self._traj_cache[key] = (pins, (cks, tapes, mpack, ltraj))
         while len(self._traj_cache) > self._traj_cache_max:
             self._traj_cache.popitem(last=False)
         return cks, tapes, mpack, ltraj
