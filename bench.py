@@ -88,10 +88,7 @@ def _run_case(jax, np, npx, npz):
                       dtype="float32"),
         dt=900.0,
     )
-    # float32 run: the default halo-sentinel magnitude 1e30 is f64-safe but
-    # overflows when squared in f32; tests/test_sentinel.py proves the model
-    # is invariant to the sentinel magnitude, so use the f32-safe value.
-    lm = LinearModel.create(cfg, big=1.0e8)
+    lm = LinearModel.create(cfg)
     traj = lm.rest_traj()
     rng = np.random.default_rng(0)
     traj["t"] = traj["t"] + 2.0 * rng.standard_normal(traj["t"].shape).astype(

@@ -307,22 +307,39 @@ def _kcoef_pert(cfg, npz, dtype):
     )
 
 
-def _pert_hords(cfg, npz):
-    """Per-variable pert advection options with the sponge-layer override
-    (dyn_core_tlm.F90:861-875): k <= n_sponge_pert-1 uses hord_*_ks_pert."""
+def _sponge_hords(cfg, npz, mains, ks_val):
+    """Per-variable advection options with the pert-sponge-layer override
+    (dyn_core_tlm.F90:861-875): k <= n_sponge_pert-1 uses `ks_val`."""
     import numpy as np
 
     mask = jnp.asarray(
         (np.arange(npz) + 1 <= cfg.n_sponge_pert - 1).reshape(npz, 1, 1, 1)
     )
     def h(main):
-        if cfg.n_sponge_pert > 1 and main != cfg.hord_ks_pert:
-            return (main, cfg.hord_ks_pert, mask)
+        if cfg.n_sponge_pert > 1 and main != ks_val:
+            return (main, ks_val, mask)
         return main
-    return dict(
-        hord_mt=h(cfg.hord_mt_pert), hord_vt=h(cfg.hord_vt_pert),
-        hord_tm=h(cfg.hord_tm_pert), hord_dp=h(cfg.hord_dp_pert),
-    )
+    return dict(hord_mt=h(mains[0]), hord_vt=h(mains[1]),
+                hord_tm=h(mains[2]), hord_dp=h(mains[3]))
+
+
+def _pert_hords(cfg, npz):
+    """PERT advection options with the sponge override (hord_*_ks_pert)."""
+    return _sponge_hords(
+        cfg, npz, (cfg.hord_mt_pert, cfg.hord_vt_pert, cfg.hord_tm_pert,
+                   cfg.hord_dp_pert), cfg.hord_ks_pert)
+
+
+def _traj_sponge_hords(cfg, npz):
+    """TRAJECTORY advection options inside the TLM/ADM linearization: in
+    the pert sponge levels the trajectory ALSO drops to hord_*_ks_traj
+    (dyn_core_tlm.F90:862-868, hord_ks_traj default true with values 1,
+    fv_arrays_tlmadm.F90:61-66).  This is why the differentiated NLM
+    differs slightly from the production NLM — the reference's linmodtest
+    switch exists for exactly that (fv3jedi_lm_dynamics_mod.F90:297-330)."""
+    return _sponge_hords(
+        cfg, npz, (cfg.hord_mt, cfg.hord_vt, cfg.hord_tm, cfg.hord_dp),
+        cfg.hord_ks_traj)
 
 
 def acoustic_carry(state, cfg, npz, dtype):
@@ -372,6 +389,11 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
     kcoef = _kcoef(cfg, npz, dtype)
     mix_hord = mode == "mixed" and cfg.split_hord
     mix_damp = mode == "mixed" and cfg.split_damp
+    # trajectory-side advection inside the linearization: pert-sponge
+    # levels drop to hord_*_ks_traj when split (dyn_core_tlm.F90:862-868)
+    hords_t = (_traj_sponge_hords(cfg, npz) if mix_hord else dict(
+        hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
+        hord_tm=cfg.hord_tm, hord_dp=cfg.hord_dp))
     if mix_hord or mix_damp:
         hords_p = (_pert_hords(cfg, npz) if mix_hord else dict(
             hord_mt=cfg.hord_mt, hord_vt=cfg.hord_vt,
@@ -410,7 +432,8 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                     mfx, mfy, cx, cy, grid, topo, dt, npx)
         r = d_sw(
             *dsw_args,
-            cfg.hord_mt, cfg.hord_vt, cfg.hord_tm, cfg.hord_dp,
+            hords_t["hord_mt"], hords_t["hord_vt"],
+            hords_t["hord_tm"], hords_t["hord_dp"],
             kcoef, cfg.hydrostatic,
         )
         if hords_p is not None:

@@ -88,7 +88,6 @@ class StagedStepper:
             cotangent into zero-padded internal state (keys _unpad never
             reads get zero cotangent)."""
             from .. import NG
-            from ..lm import TRACERS
             n = dyn.nx
             jc = n + 2 * NG
             jb = jc + 1
@@ -108,7 +107,7 @@ class StagedStepper:
                 phis=jnp.zeros((6, jc, jc), dtype),
             )
             q = [z3(jc, jc).at[:, :, cs, cs].set(pb[name])
-                 for name in TRACERS]
+                 for name in self.lm.tracers]
             return st, q
 
         self._stages = dict(prep=prep, pre=pre, post=post, unpad=unpad,

@@ -46,6 +46,9 @@ from .parallel import halo
 
 TRACERS = ("qv", "ql", "qi", "o3")  # ncnst=4 (fv3jedi_lm_dynamics_mod.F90:159-167)
 PROG_3D = ("u", "v", "t", "delp") + TRACERS
+#: with moist physics the convective cloud fraction cfcn becomes a pert
+#: field AND the 5th advected tracer (ncnst=5,
+#: fv3jedi_lm_dynamics_mod.F90:159-167); see LinearModel.tracers
 #: 2-D surface trajectory fields consumed by the physics
 #: (fv3jedi_lm_traj, src/utils/fv3jedi_lm_utils_mod.F90:43-54)
 SURFACE_2D = ("frland", "frocean", "varflt", "zpbl", "cm", "ct", "cq",
@@ -71,8 +74,20 @@ class LinearModel:
         cfg = cfg.replace(dyn=cfg.dyn.resolve())
         self.cfg = cfg
         dyn = cfg.dyn
+        # ncnst = 4, or 5 with moist physics: cfcn rides as the 5th
+        # advected tracer (fv3jedi_lm_dynamics_mod.F90:159-167)
+        self.tracers = TRACERS + ("cfcn",) if cfg.do_phy_mst else TRACERS
+        self.prog_3d = ("u", "v", "t", "delp") + self.tracers
         self.dtype = jnp.dtype(dyn.dtype)
-        gm = build_grid(dyn.npx) if big is None else build_grid(dyn.npx, big=big)
+        if big is None:
+            # halo-sentinel magnitude for undefined metric lanes (reference
+            # big_number, fv_grid_utils_nlm.F90:49).  No differentiated path
+            # reads sentinel lanes (tests/test_sentinel.py proves value
+            # invariance), but intermediate products of the *discarded*
+            # lanes must stay finite in the working dtype — f32 overflows
+            # at (1e30)^2 — so the default scales with the dtype.
+            big = 1.0e30 if self.dtype == jnp.float64 else 1.0e8
+        gm = build_grid(dyn.npx, big=big)
         self.topo = gm.topo
         self.grid = to_device(gm, dtype=self.dtype)
         if ak is None:
@@ -119,7 +134,7 @@ class LinearModel:
         n = self.cfg.dyn.nx
         npz = self.cfg.dyn.npz
         z3 = lambda jy, jx: jnp.zeros((npz, 6, jy, jx), self.dtype)
-        p = {f: z3(n, n) for f in ("t", "delp") + TRACERS}
+        p = {f: z3(n, n) for f in ("t", "delp") + self.tracers}
         p["u"] = z3(n + 1, n)
         p["v"] = z3(n, n + 1)
         return p
@@ -170,7 +185,7 @@ class LinearModel:
         st["pt"] = pad3(prog["t"], jc, jc, cs, cs)
         st["delp"] = pad3(prog["delp"], jc, jc, cs, cs)
         st["w"] = jnp.zeros((npz, 6, jc, jc), self.dtype)
-        q = [pad3(prog[name], jc, jc, cs, cs) for name in TRACERS]
+        q = [pad3(prog[name], jc, jc, cs, cs) for name in self.tracers]
         return st, q
 
     def _unpad(self, st: dict, q: list) -> dict:
@@ -183,7 +198,7 @@ class LinearModel:
             "t": st["pt"][:, :, cs, cs],
             "delp": st["delp"][:, :, cs, cs],
         }
-        for name, qq in zip(TRACERS, q):
+        for name, qq in zip(self.tracers, q):
             out[name] = qq[:, :, cs, cs]
         return out
 
@@ -222,11 +237,14 @@ class LinearModel:
 
     def _traj_token(self, traj):
         """Cache key for a trajectory: the identities of its constituent
-        arrays.  The cache entry PINS those arrays (holds strong
-        references), so a key can never be reused by a different trajectory
-        while its entry is alive — unlike keying on `id(traj)`, where a
-        freed-then-reallocated dict could silently hit a stale entry."""
-        fields = PROG_3D + ("phis",)
+        arrays — the prognostic fields AND every surface/cloud trajectory
+        field the physics linearizes at (kcbl/ts/frland/..., qls/qcn).
+        The cache entry PINS those arrays (holds strong references), so a
+        key can never be reused by a different trajectory while its entry
+        is alive — unlike keying on `id(traj)`, where a freed-then-
+        reallocated dict could silently hit a stale entry."""
+        fields = self.prog_3d + ("phis",) + tuple(
+            f for f in SURFACE_2D + MOIST_3D if f in traj)
         return (tuple(id(traj[k]) for k in fields),
                 tuple(traj[k] for k in fields))
 
@@ -242,7 +260,7 @@ class LinearModel:
             self._traj_cache.move_to_end(key)
             return hit[1]
         stepper = self._staged()
-        prog = {k: traj[k] for k in PROG_3D}
+        prog = {k: traj[k] for k in self.prog_3d}
         out, cks = stepper.forward(prog, traj["phis"])
         tapes = stepper.record(cks)
         if self._moist is not None:
@@ -268,7 +286,7 @@ class LinearModel:
         (fv3jedi_lm_moist_mod.F90 set_ltraj:721-737)."""
         n = self.cfg.dyn.nx
         sfc = {f: traj.get(f, jnp.zeros((6, n, n), self.dtype))
-               for f in ("ts", "frland", "kcbl")}
+               for f in ("ts", "frland", "kcbl", "khu", "khl")}
         for f in MOIST_3D:
             if f in traj:
                 sfc[f] = traj[f]
@@ -287,8 +305,11 @@ class LinearModel:
                                             do_phy_mst=self.cfg.do_phy_mst)
             self._jit_turb_ltraj = jax.jit(f)
         n = self.cfg.dyn.nx
+        npz = self.cfg.dyn.npz
         sfc = {f: traj.get(f, jnp.zeros((6, n, n), self.dtype))
                for f in SURFACE_2D}
+        for f in ("qls", "qcn"):   # 3-D cloud condensate (bldriver QLTOT)
+            sfc[f] = traj.get(f, jnp.zeros((npz, 6, n, n), self.dtype))
         return self._jit_turb_ltraj(post_dyn_prog, sfc)
 
     def _phys_apply(self, ltraj, prog):
@@ -316,7 +337,7 @@ class LinearModel:
         if self._jit_nl is None:
             self._jit_nl = jax.jit(self._step_fn)
         phis = traj["phis"]
-        prog = {k: traj[k] for k in PROG_3D}
+        prog = {k: traj[k] for k in self.prog_3d}
         out = self._jit_nl(prog, phis)
         if self._moist is not None:
             mpack = self._moist.set_ltraj(out, self._moist_sfc(traj))
@@ -328,7 +349,10 @@ class LinearModel:
             out = self._jit_phys_tl(ltraj, out)
         out["phis"] = phis
         for f in SURFACE_2D + MOIST_3D:
-            if f in traj:
+            # pass static surface/cloud trajectory fields through — but a
+            # field the step itself produced (cfcn when it is the 5th
+            # tracer) keeps its stepped value
+            if f in traj and f not in out:
                 out[f] = traj[f]
         return out
 
@@ -342,8 +366,8 @@ class LinearModel:
         trajectory output is discarded, as in the reference
         (fv3jedi_lm_dynamics_mod.F90:448).
         """
-        prog = {k: traj[k] for k in PROG_3D}
-        p = {k: pert[k].astype(self.dtype) for k in PROG_3D}
+        prog = {k: traj[k] for k in self.prog_3d}
+        p = {k: pert[k].astype(self.dtype) for k in self.prog_3d}
         cks, tapes, mpack, ltraj = self._ckpts(traj)
         p = self._staged().tl(prog, traj["phis"], p, cks, tapes)
         if self._moist is not None:
@@ -362,8 +386,8 @@ class LinearModel:
         F90:507-633), where the reference needs 135k lines of hand-curated
         Tapenade adjoint sweeps (model_tlmadm/*_adm.F90) + the adStack
         runtime for the same contract."""
-        prog = {k: traj[k] for k in PROG_3D}
-        pb = {k: pert_ad[k].astype(self.dtype) for k in PROG_3D}
+        prog = {k: traj[k] for k in self.prog_3d}
+        pb = {k: pert_ad[k].astype(self.dtype) for k in self.prog_3d}
         cks, tapes, mpack, ltraj = self._ckpts(traj)
         if self._turb is not None:
             if self._jit_phys_ad is None:

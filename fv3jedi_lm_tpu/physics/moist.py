@@ -1,18 +1,30 @@
-"""Moist physics driver: RAS convection with DOCONVEC / Jacobian filters.
+"""Moist physics driver: RAS convection + PDF cloud scheme.
 
 TPU-native re-design of the reference moist driver
 (src/physics/moist/fv3jedi_lm_moist_mod.F90: create:87, set_ltraj:649-975,
-step_nl:289, step_tl:425, step_ad:531).  The reference linearizes GEOS moist
+step_nl:282, step_tl:394, step_ad:507).  The reference linearizes GEOS moist
 physics per column inside (i,j) loops; here every column of the cube runs
 at once as (npz, B) arrays, and the TLM/ADM are jvp/vjp of the whole-array
 scheme at the cached trajectory with the branch tape frozen (core/freeze) —
-replacing the hand-curated Tapenade pairs convection_tl.F90/convection_ad.F90.
+replacing the hand-curated Tapenade pairs convection_tl/ad.F90 and
+cloud_tl/ad.F90.
 
-Status: the convection path (RASE/RASE0, the DOCONVEC heating-rate filter
-and the two-column Jacobian filter) is implemented; the cloud scheme
-(cloud.F90 cloud_driver) is NOT yet — perturbations of qi/ql/cfcn pass
-through unchanged.  That corresponds to the reference with the cloud
-tendencies disabled, and is stated in README.md's coverage table.
+The combined step reproduces the reference's composition exactly:
+
+* convection (rase_d) runs GATED by the DOCONVEC filters and advances the
+  (theta, qv, u, v) perturbations (step_tl:455-477);
+* the cloud scheme linearizes at the UNGATED RASE0 trajectory stored by
+  set_ltraj (ptt_c/qvt_c/cnv_*_c, :731-775) while receiving the gated
+  convection tangents (step_tl:483-500) — expressed with
+  freeze.mix_primal;
+* the NONLINEAR writeback takes t/qv/u/v from convection and qi/ql/cfcn
+  from the cloud scheme (step_nl:383-390: traj%t uses ltraj%PTT, i.e. the
+  cloud temperature update is discarded from the trajectory while the
+  cloud's qi/ql/cfcn updates are kept);
+* qi/ql perturbations split into (large-scale, convective) x (ice,
+  liquid) parts by the trajectory fractions before the cloud scheme and
+  recombine after (step_tl:434-440, 510-515); cfcn is a pert field (and
+  5th advected tracer, fv3jedi_lm_dynamics_mod.F90:159-167).
 
 The trajectory setup (set_ltraj) computes, per column:
 * CNV_PLE/PK/PTT from delp + T (compute_pressures + p00^kappa*T/pk);
@@ -58,10 +70,13 @@ class Moist:
     """Facade for the moist physics linearization (one per LinearModel)."""
 
     def __init__(self, dyn, ak, bk, dt, do_phy_mst=1):
+        from .cloud import cloud_params
+
         self.dyn = dyn
         self.dt = float(dt)
         self.do_phy_mst = int(do_phy_mst)
         self.rasparams = default_rasparams(dyn.npx)
+        self.cloudparams = cloud_params(dyn.nx)
         ak = np.asarray(ak, np.float64)
         bk = np.asarray(bk, np.float64)
         pref = ak + bk * MAPL_P00
@@ -116,6 +131,8 @@ class Moist:
         frland = self._cols(sfc["frland"])
         kcbl = jnp.round(self._cols(sfc["kcbl"])).astype(jnp.int32)
         kcbl = jnp.clip(kcbl, 0, npz)
+        khu = jnp.round(self._cols(sfc["khu"])).astype(jnp.int32)
+        khl = jnp.round(self._cols(sfc["khl"])).astype(jnp.int32)
 
         seedras = (1.0e6 * (100.0 * temp[-1]
                             - jnp.floor(100.0 * temp[-1]))).astype(jnp.int32)
@@ -191,16 +208,32 @@ class Moist:
         ilsf, icnf = frac(qilst, qicnt)
         llsf, lcnf = frac(qllst, qlcnt)
 
+        cfcnt = (self._cols(prog["cfcn"]) if "cfcn" in prog else zero3)
+
         ltraj = dict(ptt=ptt, qvt=qv, ut=u, vt=v, pk_fv=self._pk_fv(ple),
-                     cnv_ple=cnv_ple, ts=ts, frland=frland, kcbl=kcbl,
+                     cnv_ple=cnv_ple, ple=ple, ts=ts, frland=frland,
+                     kcbl=kcbl, khu=khu, khl=khl,
                      wgt0=wgt0, wgt1=wgt1, co_auto=co_auto, seedras=seedras,
                      doconvec=doconvec, ilsf=ilsf, icnf=icnf, llsf=llsf,
-                     lcnf=lcnf)
+                     lcnf=lcnf,
+                     # the cloud scheme's linearization point: the UNGATED
+                     # RASE0 trajectory (set_ltraj:731-775) + cloud fields
+                     ptt_c=ptt_c, qvt_c=qvt_c, clw_c=clw_c, flxd_c=flxd_c,
+                     prc3_c=prc3_c, updf_c=updf_c,
+                     qilst=qilst, qllst=qllst, qicnt=qicnt, qlcnt=qlcnt,
+                     cfcnt=cfcnt)
 
-        # branch tape of the convective step at this trajectory
+        # branch tape of the full moist step at this trajectory
         with freeze.recording() as tape:
-            self._conv_step(ltraj, dict(ptt=ptt, qvt=qv, ut=u, vt=v))
+            self._moist_step(ltraj, self._x0(ltraj))
         return ltraj, list(tape)
+
+    def _x0(self, ltraj):
+        """The linearization point of the moist step in scheme variables."""
+        return dict(ptt=ltraj["ptt"], qvt=ltraj["qvt"], ut=ltraj["ut"],
+                    vt=ltraj["vt"], qils=ltraj["qilst"], qlls=ltraj["qllst"],
+                    qicn=ltraj["qicnt"], qlcn=ltraj["qlcnt"],
+                    cfcn=ltraj["cfcnt"])
 
     def _pk_fv(self, ple):
         """FV pk = d(p^kappa)/dlogp layer mean used for T<->theta."""
@@ -208,56 +241,85 @@ class Moist:
         peln = jnp.log(ple)
         return (pek[1:] - pek[:-1]) / (MAPL_KAPPA * (peln[1:] - peln[:-1]))
 
-    # -- the differentiated convective step --------------------------------
+    # -- the differentiated moist step (convection + cloud) -----------------
 
-    def _conv_step(self, ltraj, x):
-        """One RAS application on column fields x = {ptt, qvt, ut, vt};
-        columns where DOCONVEC is false pass through unchanged
-        (fv3jedi_lm_moist_mod.F90:352-379: rase called only where
-        doconvec==1)."""
+    def _moist_step(self, ltraj, x):
+        """One moist physics application on column scheme variables
+        x = {ptt, qvt, ut, vt, qils, qlls, qicn, qlcn, cfcn}.
+
+        Convection: columns where DOCONVEC is false pass through unchanged
+        (fv3jedi_lm_moist_mod.F90:455-477: rase_d called only where
+        doconvec==1).  Cloud: linearized at the stored UNGATED RASE0
+        trajectory (ptt_c/qvt_c/cnv_*_c) while the tangents ride in from
+        the gated convection — the reference's step_tl composition
+        (:483-500), expressed with freeze.mix_primal.  Outputs ptt/qvt
+        take their PRIMAL from convection and their tangent from the cloud
+        scheme (the step_nl writeback discards the cloud's trajectory
+        temperature/humidity update, :383-390)."""
+        from .cloud import cloud_driver
+
+        mix = freeze.mix_primal
         kcbl_eff = jnp.where(ltraj["doconvec"], ltraj["kcbl"], 0)
-        tho, qho, uho, vho, *_ = rase(
+        tho, qho, uho, vho, clw, flxd, prc3, updf = rase(
             self.dt, self.icmin, self.sige, kcbl_eff, ltraj["wgt0"],
             ltraj["wgt1"], ltraj["frland"], ltraj["ts"],
             x["ptt"], x["qvt"], x["ut"], x["vt"], ltraj["co_auto"],
             ltraj["cnv_ple"], self.rasparams, ltraj["seedras"])
-        return dict(ptt=tho, qvt=qho, ut=uho, vt=vho)
+
+        th2, q2, qils2, qlls2, qicn2, qlcn2, _, cfcn2 = cloud_driver(
+            self.dt,
+            mix(ltraj["ptt_c"], tho), mix(ltraj["qvt_c"], qho),
+            ltraj["ple"],
+            mix(ltraj["clw_c"], clw), mix(ltraj["flxd_c"], flxd),
+            mix(ltraj["prc3_c"], prc3), mix(ltraj["updf_c"], updf),
+            x["qils"], x["qlls"], x["qicn"], x["qlcn"],
+            jnp.zeros_like(x["qils"]), x["cfcn"],
+            ltraj["frland"], ltraj["khu"], ltraj["khl"],
+            self.cloudparams, None, self.do_phy_mst)
+
+        return dict(ptt=mix(tho, th2), qvt=mix(qho, q2), ut=uho, vt=vho,
+                    qi=qils2 + qicn2, ql=qlls2 + qlcn2, cfcn=cfcn2)
 
     # -- public NL / TL / AD ------------------------------------------------
 
-    def _marshal_in(self, ltraj, pert, tscale):
-        """Compute-domain pert dict -> column scheme pert.
-
-        tscale: p00^kappa/pk (D1) for the TL input (step_tl:478-489) and
-        the AD *output* direction; pk/p00^kappa (D2) for the AD input
-        (step_ad:542-551) — the adjoint marshalling is the transpose of the
-        tangent's, so the diagonal scalings swap sides."""
+    def _marshal_in(self, ltraj, pert):
+        """Compute-domain pert dict -> column scheme pert (step_tl:428-440):
+        theta scaling, qi/ql split by the trajectory fractions, cfls = 0."""
         n = self.dyn.nx
+        p00k = MAPL_P00 ** MAPL_KAPPA
+        qi = self._cols(pert["qi"])
+        ql = self._cols(pert["ql"])
         return dict(
-            ptt=self._cols(pert["t"]) * tscale,
+            ptt=self._cols(pert["t"]) * p00k / ltraj["pk_fv"],
             qvt=self._cols(pert["qv"]),
             ut=self._cols(pert["u"][..., :n, :]),
-            vt=self._cols(pert["v"][..., :, :n]))
+            vt=self._cols(pert["v"][..., :, :n]),
+            qils=qi * ltraj["ilsf"], qicn=qi * ltraj["icnf"],
+            qlls=ql * ltraj["llsf"], qlcn=ql * ltraj["lcnf"],
+            cfcn=self._cols(pert["cfcn"]))
 
-    def _marshal_out(self, ltraj, pert, y, tscale):
-        """Column scheme pert -> compute-domain pert dict (step_tl:510-520 /
-        step_ad:609-618); fields the scheme does not touch pass through."""
+    def _marshal_out(self, ltraj, pert, y):
+        """Column scheme pert -> compute-domain pert dict (step_tl:510-520);
+        fields the scheme does not touch pass through."""
         n = self.dyn.nx
+        p00k = MAPL_P00 ** MAPL_KAPPA
         out = dict(pert)
-        out["t"] = self._uncols(y["ptt"] * tscale, pert["t"])
+        out["t"] = self._uncols(y["ptt"] * ltraj["pk_fv"] / p00k, pert["t"])
         out["qv"] = self._uncols(y["qvt"], pert["qv"])
         out["u"] = pert["u"].at[..., :n, :].set(
             self._uncols(y["ut"], pert["u"][..., :n, :]))
         out["v"] = pert["v"].at[..., :, :n].set(
             self._uncols(y["vt"], pert["v"][..., :, :n]))
+        out["qi"] = self._uncols(y["qi"], pert["qi"])
+        out["ql"] = self._uncols(y["ql"], pert["ql"])
+        out["cfcn"] = self._uncols(y["cfcn"], pert["cfcn"])
         return out
 
     def apply_nl(self, ltraj, tape, prog):
-        """Nonlinear moist step on the trajectory prog dict."""
-        x = dict(ptt=ltraj["ptt"], qvt=ltraj["qvt"], ut=ltraj["ut"],
-                 vt=ltraj["vt"])
+        """Nonlinear moist step on the trajectory prog dict (step_nl
+        writeback, fv3jedi_lm_moist_mod.F90:383-390)."""
         with freeze.replaying(tape):
-            y = self._conv_step(ltraj, x)
+            y = self._moist_step(ltraj, self._x0(ltraj))
         out = dict(prog)
         n = self.dyn.nx
         p00k = MAPL_P00 ** MAPL_KAPPA
@@ -267,23 +329,28 @@ class Moist:
             self._uncols(y["ut"], prog["u"][..., :n, :]))
         out["v"] = prog["v"].at[..., :, :n].set(
             self._uncols(y["vt"], prog["v"][..., :, :n]))
+        out["qi"] = self._uncols(y["qi"], prog["qi"])
+        out["ql"] = self._uncols(y["ql"], prog["ql"])
+        if "cfcn" in prog:
+            out["cfcn"] = self._uncols(y["cfcn"], prog["cfcn"])
         return out
 
-    def apply_tl(self, ltraj, tape, pert):
-        x0 = dict(ptt=ltraj["ptt"], qvt=ltraj["qvt"], ut=ltraj["ut"],
-                  vt=ltraj["vt"])
-        p00k = MAPL_P00 ** MAPL_KAPPA
-        dx = self._marshal_in(ltraj, pert, p00k / ltraj["pk_fv"])
+    def _tl_fn(self, ltraj, tape, pert):
+        """The tangent-linear moist operator, linear in `pert`."""
+        dx = self._marshal_in(ltraj, pert)
         with freeze.replaying(tape):
-            _, dy = jax.jvp(lambda x: self._conv_step(ltraj, x), (x0,), (dx,))
-        return self._marshal_out(ltraj, pert, dy, ltraj["pk_fv"] / p00k)
+            _, dy = jax.jvp(lambda x: self._moist_step(ltraj, x),
+                            (self._x0(ltraj),), (dx,))
+        return self._marshal_out(ltraj, pert, dy)
+
+    def apply_tl(self, ltraj, tape, pert):
+        return self._tl_fn(ltraj, tape, pert)
 
     def apply_ad(self, ltraj, tape, pert_ad):
-        x0 = dict(ptt=ltraj["ptt"], qvt=ltraj["qvt"], ut=ltraj["ut"],
-                  vt=ltraj["vt"])
-        p00k = MAPL_P00 ** MAPL_KAPPA
-        yb = self._marshal_in(ltraj, pert_ad, ltraj["pk_fv"] / p00k)
-        with freeze.replaying(tape):
-            _, vjp = jax.vjp(lambda x: self._conv_step(ltraj, x), x0)
-        xb = vjp(yb)[0]
-        return self._marshal_out(ltraj, pert_ad, xb, p00k / ltraj["pk_fv"])
+        """Exact transpose of apply_tl: vjp of the linear TL operator
+        (marshalling transposes included automatically) — the reference
+        needs the hand-curated cloud_ad.F90/convection_ad.F90 sweeps and
+        mirrored adjoint marshalling (step_ad:507-620) for this."""
+        zeros = jax.tree.map(jnp.zeros_like, pert_ad)
+        _, pull = jax.vjp(lambda p: self._tl_fn(ltraj, tape, p), zeros)
+        return pull(pert_ad)[0]

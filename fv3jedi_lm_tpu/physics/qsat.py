@@ -87,21 +87,28 @@ ESTBLX = build_estblx()
 
 
 def dqsat(temp, plo_pa, estblx=None):
-    """DQSAT_sub_sca (bldriver.F90:1466-1520), vectorized.
+    """DQSAT_BAC / DQSAT_sub_sca (cloud.F90:2459-2525, bldriver.F90:
+    1466-1520), vectorized.
 
     temp in K, plo_pa in Pa (the reference passes hPa and multiplies back).
-    Returns (dqsi, qssi).  Trajectory-side only — not differentiated.
+    Returns (dqsi, qssi).  Differentiable in temp: jvp/vjp through the
+    piecewise-linear table IS the reference's hand-written DQSAT_BAC_D
+    (cloud_tl.F90).  The table index and saturation branch are routed
+    through the frozen-decision tape so TL and AD replay identical
+    branches (no-ops outside recording/replaying contexts).
     """
     import jax.numpy as jnp
 
+    from ..core.freeze import fbool, fclip, fint
+
     tbl = jnp.asarray(ESTBLX if estblx is None else estblx)
     pp = plo_pa
-    ti = jnp.clip(temp, TMINTBL, TMAXTBL - 0.001)
+    ti = fclip(temp, TMINTBL, TMAXTBL - 0.001)
     tt = (ti - TMINTBL) * DEGSUBS + 1.0
-    it = jnp.floor(tt).astype(jnp.int32)        # Fortran 1-based index
+    it = fint(jnp.floor(tt).astype(jnp.int32))   # Fortran 1-based index
     dqq = tbl[it] - tbl[it - 1]                  # ESTBLX(IT+1)-ESTBLX(IT)
     qq = (tt - it) * dqq + tbl[it - 1]
-    sat = pp <= qq
+    sat = fbool(pp <= qq)
     dd = 1.0 / jnp.where(sat, 1.0, pp - (1.0 - ESFAC) * qq)
     qsat = jnp.where(sat, MAX_MIXING_RATIO, ESFAC * qq * dd)
     dqsi = jnp.where(sat, 0.0, (ESFAC * DEGSUBS) * dqq * pp * dd * dd)

@@ -56,19 +56,28 @@ def traj(lm):
     tr["ts"] = jnp.asarray(305.0 + rng.standard_normal((6, n, n)))
     tr["frland"] = jnp.asarray((rng.random((6, n, n)) > 0.5) * 1.0)
     tr["kcbl"] = jnp.full((6, n, n), float(npz - 1))
+    # cloud trajectory: mid-tropospheric condensate + convective fraction
+    # so the cloud scheme's autoconversion/settling/precip paths activate
+    prof = np.exp(-0.5 * ((ks - 0.7 * npz) / (0.15 * npz)) ** 2)
+    tr["qls"] = jnp.asarray(4e-5 * prof * (1.0 + 0.3 * rng.random((npz, 6, n, n))))
+    tr["qcn"] = jnp.asarray(3e-5 * prof * (1.0 + 0.3 * rng.random((npz, 6, n, n))))
+    tr["cfcn"] = jnp.asarray(0.1 * prof * np.ones((npz, 6, n, n)))
     return tr
 
 
 def _rand_pert(lm, seed):
     rng = np.random.default_rng(seed)
     scale = dict(u=1.0, v=1.0, t=1.0, delp=10.0, qv=1e-4, ql=1e-6,
-                 qi=1e-6, o3=1e-7)
+                 qi=1e-6, o3=1e-7, cfcn=1e-3)
     return {k: jnp.asarray(rng.standard_normal(v.shape)) * scale[k]
             for k, v in lm.zero_pert().items()}
 
 
 def _dot(a, b):
-    return sum(jnp.vdot(a[k], b[k]) for k in PROG_3D)
+    # full state inner product incl. the cfcn pert field (the identity
+    # holds for the complete vectors, not per-field subsets)
+    keys = [k for k in a if k in b and k in PROG_3D + ("cfcn",)]
+    return sum(jnp.vdot(a[k], b[k]) for k in keys)
 
 
 def test_moist_nl_finite_and_active(lm, traj):
@@ -103,22 +112,27 @@ def test_moist_changes_the_operator(lm, traj):
     assert doconvec.any(), "no convective column survived the filters"
     dx = _rand_pert(lm, 5)
     with_m = lm.step_tl(traj, dx)
-    p = lm._staged().tl({k: traj[k] for k in PROG_3D}, traj["phis"],
+    p = lm._staged().tl({k: traj[k] for k in lm.prog_3d}, traj["phis"],
                         dx, cks, tapes)
     diff = sum(float(jnp.abs(with_m[k] - p[k]).max()) for k in PROG_3D)
     assert diff > 0.0
 
 
-def test_moist_inactive_without_kcbl(lm, traj):
+def test_no_convection_cloud_still_active(lm, traj):
+    """With kcbl == 0 no column convects (rase_d never called,
+    fv3jedi_lm_moist_mod.F90:455-460) so the WIND perturbations pass
+    through the moist step bitwise — but the cloud scheme still transforms
+    the thermodynamic perturbations (cloud_driver_d runs unconditionally,
+    step_tl:483-500)."""
     tr = dict(traj, kcbl=jnp.zeros_like(traj["kcbl"]))
     dx = _rand_pert(lm, 9)
     cks, tapes, mpack, _ = lm._ckpts(tr)
-    p_dyn = lm._staged().tl({k: tr[k] for k in PROG_3D}, tr["phis"],
-                            dx, cks, tapes)
+    prog = {k: tr[k] for k in lm.prog_3d}
+    p_dyn = lm._staged().tl(prog, tr["phis"], dx, cks, tapes)
     p = lm.step_tl(tr, dx)
-    for k in PROG_3D:
-        # u/v/qv pass through bitwise; t makes the theta<->T marshalling
-        # round trip (t * p00^k/pk * pk/p00^k), which is identity only to
-        # rounding
-        tol = 1e-13 if k == "t" else 0.0
-        assert float(jnp.abs(p[k] - p_dyn[k]).max()) <= tol, k
+    for k in ("u", "v"):
+        assert float(jnp.abs(p[k] - p_dyn[k]).max()) == 0.0, k
+    # qi/ql/cfcn/t/qv are transformed by the cloud scheme
+    changed = sum(float(jnp.abs(p[k] - p_dyn[k]).max())
+                  for k in ("t", "qv", "qi", "ql"))
+    assert changed > 0.0
