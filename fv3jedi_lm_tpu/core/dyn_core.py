@@ -403,6 +403,8 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
         hords_p = kcoef_p = None
 
     def substep(c, consts):
+        from ..timing import scope
+
         phis = consts["phis"]
         u, v, w = c["u"], c["v"], c["w"]
         delp, pt = c["delp"], c["pt"]
@@ -410,19 +412,23 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
         mfx, mfy, cx, cy = c["mfx"], c["mfy"], c["cx"], c["cy"]
         lead = u.shape[:-2]
 
-        u, v = halo.fill_halo_dgrid(u, v, topo)
+        with scope("halo_uv"):
+            u, v = halo.fill_halo_dgrid(u, v, topo)
         if not cfg.hydrostatic:
             w = halo.fill_halo_center(w, topo)
 
-        delpc, ptc, wc, uc, vc, divgd, ua, va = c_sw(
-            delp, pt, u, v, w, uc, vc, grid, topo, dt2, cfg.nord,
-            cfg.hydrostatic, npx,
-        )
+        with scope("c_sw"):
+            delpc, ptc, wc, uc, vc, divgd, ua, va = c_sw(
+                delp, pt, u, v, w, uc, vc, grid, topo, dt2, cfg.nord,
+                cfg.hydrostatic, npx,
+            )
         if cfg.nord > 0:
             divgd = halo.fill_halo_corner(divgd, topo)
 
-        _, _, pkc_c, gz_c, _ = geopk(ptop, delpc, ptc, phis, akap)
-        uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
+        with scope("geopk_c"):
+            _, _, pkc_c, gz_c, _ = geopk(ptop, delpc, ptc, phis, akap)
+        with scope("p_grad_c"):
+            uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
         uc, vc = halo.fill_halo_cgrid(uc, vc, topo)
 
         if cfg.d_ext > 0.0:
@@ -430,19 +436,21 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
 
         dsw_args = (delp, pt, u, v, w, uc, vc, ua, va, divgd,
                     mfx, mfy, cx, cy, grid, topo, dt, npx)
-        r = d_sw(
-            *dsw_args,
-            hords_t["hord_mt"], hords_t["hord_vt"],
-            hords_t["hord_tm"], hords_t["hord_dp"],
-            kcoef, cfg.hydrostatic,
-        )
-        if hords_p is not None:
-            r_p = d_sw(
+        with scope("d_sw"):
+            r = d_sw(
                 *dsw_args,
-                hords_p["hord_mt"], hords_p["hord_vt"],
-                hords_p["hord_tm"], hords_p["hord_dp"],
-                kcoef_p, cfg.hydrostatic,
+                hords_t["hord_mt"], hords_t["hord_vt"],
+                hords_t["hord_tm"], hords_t["hord_dp"],
+                kcoef, cfg.hydrostatic,
             )
+        if hords_p is not None:
+            with scope("d_sw_pert"):
+                r_p = d_sw(
+                    *dsw_args,
+                    hords_p["hord_mt"], hords_p["hord_vt"],
+                    hords_p["hord_tm"], hords_p["hord_dp"],
+                    kcoef_p, cfg.hydrostatic,
+                )
             r = mix_primal(r, r_p)
         delp, pt, u, v = r["delp"], r["pt"], r["u"], r["v"]
         if not cfg.hydrostatic:
@@ -462,11 +470,13 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
         else:
             divg2 = jnp.zeros(lead[1:] + (jb, jb), dtype)
 
-        pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
+        with scope("geopk_d"):
+            pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
 
-        u, v = one_grad_p(
-            u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
-        )
+        with scope("one_grad_p"):
+            u, v = one_grad_p(
+                u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
+            )
 
         return dict(
             u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,

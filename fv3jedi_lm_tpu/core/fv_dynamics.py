@@ -23,6 +23,35 @@ from .dyn_core import dyn_core, del2_cubed
 from .tracer2d import tracer_2d
 
 
+def total_energy_hydro(u, v, tv, delp, pe, peln, hs, grid, npx):
+    """Vertically integrated total energy per column, hydrostatic remap-T
+    form (compute_total_energy, fv_mapz_nlm.F90:1010-1032, and the
+    last-step recomputation, :640-659).  All inputs padded; tv is VIRTUAL
+    temperature on levels.  Returns (6, n, n) compute-domain te_2d."""
+    from ..constants import RGAS
+
+    n = npx - 1
+    cs = SL(1, n)
+    bs = SL(1, n + 1)
+    rsin2 = grid["rsin2"][..., cs, cs]
+    cosa_s = grid["cosa_s"][..., cs, cs]
+    tv_c = tv[..., cs, cs]
+    delp_c = delp[..., cs, cs]
+    peln_c = peln[..., cs, cs]
+    hs_c = hs[..., cs, cs]
+    # gz at the model top: hs + sum_k rg*tv*(peln(k+1)-peln(k))
+    gz_top = hs_c + jnp.sum(RGAS * tv_c * (peln_c[1:] - peln_c[:-1]), axis=0)
+    te = pe[-1][..., cs, cs] * hs_c - pe[0][..., cs, cs] * gz_top
+    u_b = u[..., bs, cs]
+    v_b = v[..., cs, bs]
+    ke = 0.25 * rsin2 * (
+        u_b[..., :-1, :] ** 2 + u_b[..., 1:, :] ** 2
+        + v_b[..., :, :-1] ** 2 + v_b[..., :, 1:] ** 2
+        - (u_b[..., :-1, :] + u_b[..., 1:, :])
+        * (v_b[..., :, :-1] + v_b[..., :, 1:]) * cosa_s)
+    return te + jnp.sum(delp_c * (CP_AIR * tv_c + ke), axis=0)
+
+
 def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
                            akap, ptop, last_step, consv_te=0.0,
                            mode="traj"):
@@ -119,8 +148,37 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     pkz_new_c = (pk2_c[1:] - pk2_c[:-1]) / (akap * (pn2_c[1:] - pn2_c[:-1]))
 
     if last_step:
+        # total-energy-conserving temperature correction (fv_mapz_nlm.F90:
+        # 633-785: recompute TE on the new coordinate, dtmp from the
+        # global deficit against the step-entry te0_2d via reproducible
+        # g_sum, applied as pt += dtmp*pkz before the virtual-T division)
+        from ..constants import RGAS
+        from ..ops.reductions import CONSV_MIN, g_sum
+
+        dtmp = 0.0
+        if cfg.consv_te > CONSV_MIN and "te0_2d" in state:
+            hs_c = state["phis"][..., cs, cs]
+            delp_new_c = pe2_c[1:] - pe2_c[:-1]
+            gz_top = hs_c + jnp.sum(
+                RGAS * pt_c * (pn2_c[1:] - pn2_c[:-1]), axis=0)
+            u_b = u[..., SL(1, npy), cs]
+            v_b = v[..., cs, SL(1, npx)]
+            rsin2 = grid["rsin2"][..., cs, cs]
+            cosa_s = grid["cosa_s"][..., cs, cs]
+            ke = 0.25 * rsin2 * (
+                u_b[..., :-1, :] ** 2 + u_b[..., 1:, :] ** 2
+                + v_b[..., :, :-1] ** 2 + v_b[..., :, 1:] ** 2
+                - (u_b[..., :-1, :] + u_b[..., 1:, :])
+                * (v_b[..., :, :-1] + v_b[..., :, 1:]) * cosa_s)
+            te_new = (pe2_c[-1] * hs_c - pe2_c[0] * gz_top
+                      + jnp.sum(delp_new_c * (CP_AIR * pt_c + ke), axis=0))
+            zsum1 = jnp.sum(pkz_new_c * delp_new_c, axis=0)
+            zsum0 = ptop * (pk2_c[0] - pk2_c[-1]) + zsum1
+            area_c = grid["area"][..., cs, cs]
+            tpe = cfg.consv_te * g_sum(state["te0_2d"] - te_new, area_c)
+            dtmp = tpe / (CP_AIR * g_sum(zsum0, area_c))
         # virtual T -> T (consv_te=0 => dtmp=0), fv_mapz_nlm.F90:857-892
-        pt_c = pt_c / (1.0 + ZVIR * qs[0])
+        pt_c = (pt_c + dtmp * pkz_new_c) / (1.0 + ZVIR * qs[0])
     else:
         # back to theta_v
         pt_c = pt_c / pkz_new_c
@@ -158,6 +216,16 @@ def prep_stage(state, q, grid, topo, cfg, ptop):
 
     # T -> theta_v (fv_dynamics_nlm.F90:397-430)
     pt = pt_in * (1.0 + ZVIR * sphum) / pkz
+
+    from ..ops.reductions import CONSV_MIN
+    if cfg.consv_te > CONSV_MIN:
+        # step-entry total energy (compute_total_energy called before the
+        # k_split loop, fv_dynamics_nlm.F90:366-372; pt is temperature and
+        # qc = zvir*sphum there)
+        tv = pt_in * (1.0 + ZVIR * sphum)
+        state = dict(state, te0_2d=total_energy_hydro(
+            state["u"], state["v"], tv, delp, pe, peln, state["phis"],
+            grid, npx))
 
     state = dict(
         state, delp=delp, pt=pt,

@@ -106,6 +106,9 @@ class StagedStepper:
                 ps=jnp.zeros((6, jc, jc), dtype),
                 phis=jnp.zeros((6, jc, jc), dtype),
             )
+            from ..ops.reductions import CONSV_MIN
+            if dyn.consv_te > CONSV_MIN:
+                st["te0_2d"] = jnp.zeros((6, n, n), dtype)
             q = [z3(jc, jc).at[:, :, cs, cs].set(pb[name])
                  for name in self.lm.tracers]
             return st, q
@@ -244,6 +247,11 @@ class StagedStepper:
     # -- adjoint --------------------------------------------------------------
 
     def _ad_fn(self, prog, phis, cks, tapes, pb):
+        # jax.checkpoint on the vjp'd stages: the reverse sweep recomputes
+        # each stage's forward instead of storing its intermediates — the
+        # Tapenade cost model (ADM ~= fwd recompute + bwd sweep,
+        # fv3jedi_lm_dynamics_mod.F90:507-633).  Without it the per-stage
+        # residuals do not fit HBM at c96L72.
         s = self._stages
         ct_st, ct_q = s["unpad_T"](pb)
         for k in reversed(range(self.k_split)):
@@ -252,16 +260,20 @@ class StagedStepper:
             last = k == self.k_split - 1
             with freeze.replaying(tapes["post"][k]):
                 _, vjp_post = jax.vjp(
-                    lambda a, b, c, d: s["post"](a, b, c, d, last, "mixed"),
+                    jax.checkpoint(
+                        lambda a, b, c, d: s["post"](a, b, c, d, last,
+                                                     "mixed")),
                     st2, cks["carry_fin"][k], q, dp1)
             ct_st2, ct_carry, ct_q, ct_dp1 = vjp_post((ct_st, ct_q))
+
+            sub_ckpt = jax.checkpoint(self._sub_mix)
 
             def body(cc, x):
                 c_j, tape_j = x
                 ct_c, ct_ph = cc
                 with freeze.replaying(tape_j):
                     _, vjp_sub = jax.vjp(
-                        self._sub_mix, self._expand_carry(c_j),
+                        sub_ckpt, self._expand_carry(c_j),
                         dict(phis=st2["phis"]))
                 d_c, d_cn = vjp_sub(ct_c)
                 return (d_c, ct_ph + d_cn["phis"]), None

@@ -259,10 +259,14 @@ class LinearModel:
         if hit is not None:
             self._traj_cache.move_to_end(key)
             return hit[1]
+        from . import timing
+
         stepper = self._staged()
         prog = {k: traj[k] for k in self.prog_3d}
-        out, cks = stepper.forward(prog, traj["phis"])
-        tapes = stepper.record(cks)
+        with timing.timing("ckpts.forward"):
+            out, cks = stepper.forward(prog, traj["phis"])
+        with timing.timing("ckpts.record"):
+            tapes = stepper.record(cks)
         if self._moist is not None:
             mpack = self._moist.set_ltraj(out, self._moist_sfc(traj))
             out = self._jit_m("nl", self._moist.apply_nl)(*mpack, out)
@@ -366,16 +370,21 @@ class LinearModel:
         trajectory output is discarded, as in the reference
         (fv3jedi_lm_dynamics_mod.F90:448).
         """
+        from . import timing
+
         prog = {k: traj[k] for k in self.prog_3d}
         p = {k: pert[k].astype(self.dtype) for k in self.prog_3d}
         cks, tapes, mpack, ltraj = self._ckpts(traj)
-        p = self._staged().tl(prog, traj["phis"], p, cks, tapes)
+        with timing.timing("step_tl.dyn", lambda: p):
+            p = self._staged().tl(prog, traj["phis"], p, cks, tapes)
         if self._moist is not None:
-            p = self._jit_m("tl", self._moist.apply_tl)(*mpack, p)
+            with timing.timing("step_tl.moist", lambda: p):
+                p = self._jit_m("tl", self._moist.apply_tl)(*mpack, p)
         if self._turb is not None:
             if self._jit_phys_tl is None:
                 self._jit_phys_tl = jax.jit(self._phys_apply)
-            p = self._jit_phys_tl(ltraj, p)
+            with timing.timing("step_tl.turb", lambda: p):
+                p = self._jit_phys_tl(ltraj, p)
         return p
 
     def step_ad(self, traj: dict, pert_ad: dict) -> dict:
@@ -386,6 +395,8 @@ class LinearModel:
         F90:507-633), where the reference needs 135k lines of hand-curated
         Tapenade adjoint sweeps (model_tlmadm/*_adm.F90) + the adStack
         runtime for the same contract."""
+        from . import timing
+
         prog = {k: traj[k] for k in self.prog_3d}
         pb = {k: pert_ad[k].astype(self.dtype) for k in self.prog_3d}
         cks, tapes, mpack, ltraj = self._ckpts(traj)
@@ -393,10 +404,14 @@ class LinearModel:
             if self._jit_phys_ad is None:
                 self._jit_phys_ad = jax.jit(
                     lambda lt, f: self._turb_apply_transpose(lt, f))
-            pb = self._jit_phys_ad(ltraj, pb)
+            with timing.timing("step_ad.turb", lambda: pb):
+                pb = self._jit_phys_ad(ltraj, pb)
         if self._moist is not None:
-            pb = self._jit_m("ad", self._moist.apply_ad)(*mpack, pb)
-        return self._staged().ad(prog, traj["phis"], pb, cks, tapes)
+            with timing.timing("step_ad.moist", lambda: pb):
+                pb = self._jit_m("ad", self._moist.apply_ad)(*mpack, pb)
+        with timing.timing("step_ad.dyn"):
+            out = self._staged().ad(prog, traj["phis"], pb, cks, tapes)
+        return out
 
     def _turb_apply_transpose(self, ltraj, pb):
         """Exact transpose of _phys_apply (the reference's vtrisolvepert

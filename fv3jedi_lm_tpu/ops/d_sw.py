@@ -91,42 +91,51 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
     er = edge_rows  # (R, 1) broadcastable
 
     if iord < 8:
-        al = jnp.zeros(q.shape[:-1] + (ic + 1,), q.dtype)
-        al = al.at[..., 2:ic - 1].set(
+        z2 = jnp.zeros(q.shape[:-1] + (2,), q.dtype)
+        al = jnp.concatenate([
+            z2,
             P1 * (q[..., 1:ic - 2] + q[..., 2:ic - 1])
-            + P2 * (q[..., 0:ic - 3] + q[..., 3:ic])
-        )
+            + P2 * (q[..., 0:ic - 3] + q[..., 3:ic]),
+            z2,
+        ], axis=-1)
         bl = al[..., :-1] - q
         br = al[..., 1:] - q
-        # west edge fixes (cells 0,1,2 -> padded p(0)..p(2))
+        # west edge fixes (cells 0,1,2 -> padded p(0)..p(2)); all edge
+        # columns batched into one concat per array (ppm.set_cols)
         i1 = p(1)
         xt = C3 * q[..., i1] + C2 * q[..., i1 + 1] + C1 * q[..., i1 + 2]
-        br = br.at[..., i1].set(xt - q[..., i1])
-        bl = bl.at[..., i1 + 1].set(xt - q[..., i1 + 1])
-        br = br.at[..., i1 + 1].set(al[..., i1 + 3] - q[..., i1 + 1])
+        br_i1_a = xt - q[..., i1]
+        bl_i1p1 = xt - q[..., i1 + 1]
+        br_i1p1 = al[..., i1 + 3] - q[..., i1 + 1]
         bl0 = C1 * q[..., i1 - 3] + C2 * q[..., i1 - 2] + C3 * q[..., i1 - 1] - q[..., i1 - 1]
         xte = _edge_2sided(q, dxm, i1)
         br0 = xte - q[..., i1 - 1]
         bl1 = xte - q[..., i1]
         z = jnp.zeros_like(bl0)
-        bl = bl.at[..., i1 - 1].set(jnp.where(er, z, bl0))
-        br = br.at[..., i1 - 1].set(jnp.where(er, z, br0))
-        bl = bl.at[..., i1].set(jnp.where(er, z, bl1))
-        br = br.at[..., i1].set(jnp.where(er, z, br[..., i1]))
+        bl_i1m1 = jnp.where(er, z, bl0)
+        br_i1m1 = jnp.where(er, z, br0)
+        bl_i1 = jnp.where(er, z, bl1)
+        br_i1 = jnp.where(er, z, br_i1_a)
         # east edge (cells npx-2, npx-1, npx)
         iN = p(npx - 2)
-        bl = bl.at[..., iN].set(al[..., iN] - q[..., iN])
+        bl_iN = al[..., iN] - q[..., iN]
         xt = C1 * q[..., iN - 1] + C2 * q[..., iN] + C3 * q[..., iN + 1]
-        br = br.at[..., iN].set(xt - q[..., iN])
-        bl = bl.at[..., iN + 1].set(xt - q[..., iN + 1])
+        br_iN = xt - q[..., iN]
+        bl_iNp1_a = xt - q[..., iN + 1]
         xte = _edge_2sided(q, dxm, p(npx))
         brN1 = xte - q[..., iN + 1]
         blN2 = xte - q[..., iN + 2]
         brN2 = C3 * q[..., iN + 2] + C2 * q[..., iN + 3] + C1 * q[..., iN + 4] - q[..., iN + 2]
-        bl = bl.at[..., iN + 1].set(jnp.where(er, z, bl[..., iN + 1]))
-        br = br.at[..., iN + 1].set(jnp.where(er, z, brN1))
-        bl = bl.at[..., iN + 2].set(jnp.where(er, z, blN2))
-        br = br.at[..., iN + 2].set(jnp.where(er, z, brN2))
+        bl_iNp1 = jnp.where(er, z, bl_iNp1_a)
+        br_iNp1 = jnp.where(er, z, brN1)
+        bl_iNp2 = jnp.where(er, z, blN2)
+        br_iNp2 = jnp.where(er, z, brN2)
+        bl = ppm.set_cols(bl, [(i1 - 1, bl_i1m1), (i1, bl_i1),
+                               (i1 + 1, bl_i1p1), (iN, bl_iN),
+                               (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)])
+        br = ppm.set_cols(br, [(i1 - 1, br_i1m1), (i1, br_i1),
+                               (i1 + 1, br_i1p1), (iN, br_iN),
+                               (iN + 1, br_iNp1), (iN + 2, br_iNp2)])
 
         b0 = bl + br
         blL = bl[..., b0s - 1:b0s + n]
@@ -207,13 +216,16 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
             q0 - fmin(fmin(qm1, q0), qp1),
         ),
     ))
-    dm = jnp.zeros_like(q).at[..., 1:ic - 1].set(dm_i)
-    dq = jnp.zeros_like(q).at[..., 0:ic - 1].set(q[..., 1:ic] - q[..., 0:ic - 1])
+    z1 = jnp.zeros(q.shape[:-1] + (1,), q.dtype)
+    dm = jnp.concatenate([z1, dm_i, z1], axis=-1)
+    dq = jnp.concatenate([q[..., 1:ic] - q[..., 0:ic - 1], z1], axis=-1)
 
-    al = jnp.zeros(q.shape[:-1] + (ic + 1,), q.dtype)
-    al = al.at[..., 1:ic].set(
-        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic]) + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic])
-    )
+    al = jnp.concatenate([
+        z1,
+        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
+        + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic]),
+        z1,
+    ], axis=-1)
     bl = al[..., :-1] - q
     br = al[..., 1:] - q
     if iord == 8:
@@ -249,42 +261,48 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
             br = fwhere(flat, 0.0, fwhere(noisy, br_l, br))
     # iord == 11: unlimited bl/br as computed
 
-    # west edge (sw_core_nlm.F90:2237-2261)
+    # west edge (sw_core_nlm.F90:2237-2261); edge columns batched into one
+    # concat per array
     i1 = p(1)
-    br = br.at[..., i1 + 1].set(al[..., i1 + 3] - q[..., i1 + 1])
+    br_i1p1_a = al[..., i1 + 3] - q[..., i1 + 1]
     xt = S15 * q[..., i1] + S11 * q[..., i1 + 1] - S14 * dm[..., i1 + 1]
-    bl = bl.at[..., i1 + 1].set(xt - q[..., i1 + 1])
-    br = br.at[..., i1].set(xt - q[..., i1])
+    bl_i1p1_a = xt - q[..., i1 + 1]
+    br_i1_a = xt - q[..., i1]
     bl0 = S14 * dm[..., i1 - 2] - S11 * dq[..., i1 - 2]
     xte = _edge_2sided(q, dxm, i1)
     z = jnp.zeros_like(bl0)
-    bl = bl.at[..., i1 - 1].set(jnp.where(er, z, bl0))
-    br = br.at[..., i1 - 1].set(jnp.where(er, z, xte - q[..., i1 - 1]))
-    bl = bl.at[..., i1].set(jnp.where(er, z, xte - q[..., i1]))
-    br = br.at[..., i1].set(jnp.where(er, z, br[..., i1]))
+    bl_i1m1 = jnp.where(er, z, bl0)
+    br_i1m1 = jnp.where(er, z, xte - q[..., i1 - 1])
+    bl_i1 = jnp.where(er, z, xte - q[..., i1])
+    br_i1 = jnp.where(er, z, br_i1_a)
     b2l, b2r = ppm.pert_ppm(
-        q[..., i1 + 1:i1 + 2], bl[..., i1 + 1:i1 + 2], br[..., i1 + 1:i1 + 2], 1
+        q[..., i1 + 1:i1 + 2], bl_i1p1_a[..., None], br_i1p1_a[..., None], 1
     )
-    bl = bl.at[..., i1 + 1].set(b2l[..., 0])
-    br = br.at[..., i1 + 1].set(b2r[..., 0])
+    bl_i1p1 = b2l[..., 0]
+    br_i1p1 = b2r[..., 0]
 
     # east edge (:2264-2290)
     iN = p(npx - 2)
-    bl = bl.at[..., iN].set(al[..., iN] - q[..., iN])
+    bl_iN_a = al[..., iN] - q[..., iN]
     xt = S15 * q[..., iN + 1] + S11 * q[..., iN] + S14 * dm[..., iN]
-    br = br.at[..., iN].set(xt - q[..., iN])
-    bl = bl.at[..., iN + 1].set(xt - q[..., iN + 1])
+    br_iN_a = xt - q[..., iN]
+    bl_iNp1_a = xt - q[..., iN + 1]
     brN2 = S11 * dq[..., iN + 2] - S14 * dm[..., iN + 3]
     xte = _edge_2sided(q, dxm, p(npx))
-    bl = bl.at[..., iN + 1].set(jnp.where(er, z, bl[..., iN + 1]))
-    br = br.at[..., iN + 1].set(jnp.where(er, z, xte - q[..., iN + 1]))
-    bl = bl.at[..., iN + 2].set(jnp.where(er, z, xte - q[..., iN + 2]))
-    br = br.at[..., iN + 2].set(jnp.where(er, z, brN2))
+    bl_iNp1 = jnp.where(er, z, bl_iNp1_a)
+    br_iNp1 = jnp.where(er, z, xte - q[..., iN + 1])
+    bl_iNp2 = jnp.where(er, z, xte - q[..., iN + 2])
+    br_iNp2 = jnp.where(er, z, brN2)
     b2l, b2r = ppm.pert_ppm(
-        q[..., iN:iN + 1], bl[..., iN:iN + 1], br[..., iN:iN + 1], 1
+        q[..., iN:iN + 1], bl_iN_a[..., None], br_iN_a[..., None], 1
     )
-    bl = bl.at[..., iN].set(b2l[..., 0])
-    br = br.at[..., iN].set(b2r[..., 0])
+    bl_iN = b2l[..., 0]
+    br_iN = b2r[..., 0]
+
+    bl = ppm.set_cols(bl, [(i1 - 1, bl_i1m1), (i1, bl_i1), (i1 + 1, bl_i1p1),
+                           (iN, bl_iN), (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)])
+    br = ppm.set_cols(br, [(i1 - 1, br_i1m1), (i1, br_i1), (i1 + 1, br_i1p1),
+                           (iN, br_iN), (iN + 1, br_iNp1), (iN + 2, br_iNp2)])
 
     b0 = bl + br
     blL = bl[..., b0s - 1:b0s + n]

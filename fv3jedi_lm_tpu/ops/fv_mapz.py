@@ -375,3 +375,23 @@ def map1_ppm(pe1, q1, qs, pe2, iv, kord, q_min=None):
     if q_min is not None:
         out = fmax(out, q_min)
     return out.reshape(shp)
+
+
+def map1_q2(pe1, q1, pe2, kord, q_min=0.0):
+    """Single-tracer remap variant (map1_q2, fv_mapz_nlm.F90:1541-1633):
+    iv=0 positive-definite scalar remap with a floor — the per-tracer path
+    the reference takes for nq <= 5 (Lagrangian_to_Eulerian:407)."""
+    return map1_ppm(pe1, q1, None, pe2, 0, kord, q_min=q_min)
+
+
+def mapn_tracer(pe1, q_stack, pe2, kord, q_min=0.0):
+    """Multi-tracer remap (mapn_tracer, fv_mapz_nlm.F90:1425-1539): all
+    tracers share the coordinate change; the reference's per-tracer
+    profile fits become one batched vmap here.  q_stack: (nq, km, ...).
+    The optional `fillz` pass is omitted — the LM hardwires fill=.false.
+    (fv3jedi_lm_dynamics_mod.F90:148)."""
+    import jax
+
+    return jax.vmap(
+        lambda q: map1_ppm(pe1, q, None, pe2, 0, kord, q_min=q_min)
+    )(q_stack)

@@ -44,14 +44,33 @@ PPM_FAC = 1.5
 PPM_LIMITER = 2.0
 
 
+def set_cols(a, updates):
+    """Replace single columns of `a` (last axis) in ONE concatenate.
+
+    updates: list of (static col index, value of shape a.shape[:-1]) in
+    ascending column order.  One concat kernel replaces N dynamic-update-
+    slice kernels — the dominant op-count term of the round-3 TPU profile
+    (NOTES_BUILD.md: 7.6k dynamic-update-slices per step)."""
+    parts = []
+    prev = 0
+    for col, val in updates:
+        if col > prev:
+            parts.append(a[..., prev:col])
+        parts.append(val[..., None])
+        prev = col + 1
+    if prev < a.shape[-1]:
+        parts.append(a[..., prev:])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _al_interior(q):
     """Unlimited interface values: width IC+1, valid e in [2, IC-2]."""
     ic = q.shape[-1]
-    al = jnp.zeros(q.shape[:-1] + (ic + 1,), q.dtype)
     val = P1 * (q[..., 1:ic - 2] + q[..., 2:ic - 1]) + P2 * (
         q[..., 0:ic - 3] + q[..., 3:ic]
     )
-    return al.at[..., 2:ic - 1].set(val)
+    z = jnp.zeros(q.shape[:-1] + (2,), q.dtype)
+    return jnp.concatenate([z, val, z], axis=-1)
 
 
 def _edge_interp(q, dxa, i0):
@@ -112,26 +131,25 @@ def _bl_br_low(q, dxa, iord):
         alv = al[..., 1:ic]
         al = al.at[..., 1:ic].set(fwhere(alv < 0.0, half, alv))
 
-    # face-edge interface overrides (tp_core_nlm.F90:341-369)
+    # face-edge interface overrides (tp_core_nlm.F90:341-369), all six
+    # columns replaced in one concat (see set_cols)
     e_w = NG          # west face edge index
     e_e = NG + n      # east face edge
-    al = al.at[..., e_w - 1].set(
-        C1 * q[..., e_w - 3] + C2 * q[..., e_w - 2] + C3 * q[..., e_w - 1]
-    )
-    al = al.at[..., e_w].set(_edge_interp(q, dxa, e_w))
-    al = al.at[..., e_w + 1].set(
-        C3 * q[..., e_w] + C2 * q[..., e_w + 1] + C1 * q[..., e_w + 2]
-    )
-    al = al.at[..., e_e - 1].set(
-        C1 * q[..., e_e - 3] + C2 * q[..., e_e - 2] + C3 * q[..., e_e - 1]
-    )
-    al = al.at[..., e_e].set(_edge_interp(q, dxa, e_e))
-    al = al.at[..., e_e + 1].set(
-        C3 * q[..., e_e] + C2 * q[..., e_e + 1] + C1 * q[..., e_e + 2]
-    )
+    edge_vals = [
+        (e_w - 1, C1 * q[..., e_w - 3] + C2 * q[..., e_w - 2]
+         + C3 * q[..., e_w - 1]),
+        (e_w, _edge_interp(q, dxa, e_w)),
+        (e_w + 1, C3 * q[..., e_w] + C2 * q[..., e_w + 1]
+         + C1 * q[..., e_w + 2]),
+        (e_e - 1, C1 * q[..., e_e - 3] + C2 * q[..., e_e - 2]
+         + C3 * q[..., e_e - 1]),
+        (e_e, _edge_interp(q, dxa, e_e)),
+        (e_e + 1, C3 * q[..., e_e] + C2 * q[..., e_e + 1]
+         + C1 * q[..., e_e + 2]),
+    ]
     if iord == 7:
-        for e in (e_w - 1, e_w, e_w + 1, e_e - 1, e_e, e_e + 1):
-            al = al.at[..., e].set(fmax(0.0, al[..., e]))
+        edge_vals = [(e, fmax(0.0, v)) for e, v in edge_vals]
+    al = set_cols(al, edge_vals)
 
     bl = al[..., :-1] - q          # al(i) - q(i), cell-aligned (width IC)
     br = al[..., 1:] - q           # al(i+1) - q(i)
@@ -154,12 +172,15 @@ def _bl_br_high(q, dxa, iord):
             q0 - fmin(fmin(qm1, q0), qp1),
         ),
     ))
-    dm = jnp.zeros_like(q).at[..., 1:ic - 1].set(dm_i)
+    z1 = jnp.zeros(q.shape[:-1] + (1,), q.dtype)
+    dm = jnp.concatenate([z1, dm_i, z1], axis=-1)
 
-    al = jnp.zeros(q.shape[:-1] + (ic + 1,), q.dtype)
-    al = al.at[..., 1:ic].set(
-        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic]) + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic])
-    )
+    al = jnp.concatenate([
+        z1,
+        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
+        + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic]),
+        z1,
+    ], axis=-1)
 
     bl = al[..., :-1] - q
     br = al[..., 1:] - q
@@ -201,8 +222,6 @@ def _bl_br_high(q, dxa, iord):
     e_w, e_e = NG, NG + n
     # cells (Fortran) 0,1,2 -> padded e_w-1, e_w, e_w+1
     i0 = e_w - 1
-    blv = bl
-    brv = br
     bl0 = S14 * dm[..., i0 - 1] + S11 * (q[..., i0 - 1] - q[..., i0])
     xt = _edge_interp(q, dxa, e_w)
     xt = fmax(
@@ -232,9 +251,7 @@ def _bl_br_high(q, dxa, iord):
     b_l = jnp.stack([bl0, bl1, bl2], axis=-1)
     b_r = jnp.stack([br0, br1, br2], axis=-1)
     a_0 = q[..., i0:i0 + 3]
-    b_l, b_r = pert_ppm(a_0, b_l, b_r, 1)
-    blv = blv.at[..., i0:i0 + 3].set(b_l)
-    brv = brv.at[..., i0:i0 + 3].set(b_r)
+    b_l_w, b_r_w = pert_ppm(a_0, b_l, b_r, 1)
 
     # east edge: cells npx-2, npx-1, npx -> padded e_e-2+1=e_e-1? cells
     # (Fortran npx-2 -> e_e - 2, npx-1 -> e_e - 1, npx -> e_e)
@@ -268,10 +285,16 @@ def _bl_br_high(q, dxa, iord):
     b_l = jnp.stack([blN0, blN1, blN2], axis=-1)
     b_r = jnp.stack([brN0, brN1, brN2], axis=-1)
     a_0 = q[..., iN:iN + 3]
-    b_l, b_r = pert_ppm(a_0, b_l, b_r, 1)
-    blv = blv.at[..., iN:iN + 3].set(b_l)
-    brv = brv.at[..., iN:iN + 3].set(b_r)
-    return blv, brv
+    b_l_e, b_r_e = pert_ppm(a_0, b_l, b_r, 1)
+
+    # both 3-cell edge windows replaced in one concat per array
+    def put(base, west, east):
+        return jnp.concatenate([
+            base[..., :i0], west, base[..., i0 + 3:iN], east,
+            base[..., iN + 3:],
+        ], axis=-1)
+
+    return put(bl, b_l_w, b_l_e), put(br, b_r_w, b_r_e)
 
 
 def _flux_from_blbr(q, c, bl, br, e0, e1):
