@@ -50,17 +50,20 @@ S14 = 4.0 / 7.0
 S15 = 3.0 / 14.0
 
 
-def _edge_2sided(q, dxm, e):
+def _edge_2sided(q, dxm, e, A=None):
     """0.5*[ ((2*d0+dm)*q0 - d0*qm)/(dm+d0) + ((2*d1+d2)*q1 - d1*q2)/(d1+d2) ]
 
-    at edge-index e between cells e-1 | e (padded col indices, last axis).
+    at edge-index e between cells e-1 | e along the working axis A.ax.
     """
-    qm, q0, q1, q2 = q[..., e - 2], q[..., e - 1], q[..., e], q[..., e + 1]
+    if A is None:
+        A = ppm._AXX
+    qm, q0, q1, q2 = (A.get(q, e - 2), A.get(q, e - 1), A.get(q, e),
+                      A.get(q, e + 1))
     dm, d0, d1, d2 = (
-        dxm[..., e - 2],
-        dxm[..., e - 1],
-        dxm[..., e],
-        dxm[..., e + 1],
+        A.get(dxm, e - 2),
+        A.get(dxm, e - 1),
+        A.get(dxm, e),
+        A.get(dxm, e + 1),
     )
     return 0.5 * (
         ((2.0 * d0 + dm) * q0 - d0 * qm) / (dm + d0)
@@ -68,49 +71,55 @@ def _edge_2sided(q, dxm, e):
     )
 
 
-def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
-    """Advective flux of a D-grid wind component along its own row.
+def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows, A=None):
+    """Advective flux of a D-grid wind component along its own line.
 
-    q: (..., R, jc) cells; cb: (..., R, n+1) courant at B cols 1..npx;
-    dxm/rdxm metric aligned with q; edge_rows: bool (R,) marking the rows
-    at j==1 / j==npy where perpendicular-edge zeroing applies.
-    Returns flux (..., R, n+1).  (sw_core_nlm.F90 xtp_u)
+    Works along axis `A.ax` (-1 for xtp_u rows, -2 for ytp_v columns —
+    transpose-free; on TPU a minor-dim swapaxes is a real relayout copy).
+    q: cells, width jc along A.ax; cb: courant at B indices 1..npx;
+    dxm/rdxm metric aligned with q; edge_rows: bool (broadcast along the
+    OTHER axis) marking the lines at j==1 / j==npy where perpendicular-
+    edge zeroing applies.  Returns flux of width n+1 along A.ax.
+    (sw_core_nlm.F90 xtp_u:1970 / ytp_v:2312)
     """
-    ic = q.shape[-1]
+    if A is None:
+        A = ppm._AXX
+    ic = A.size(q)
     n = ic - 2 * NG
     p = F2P
-    b0s = p(1)  # python col of B point 1
-    qL = q[..., b0s - 1:b0s + n]      # u(i-1,j) for B i=1..npx
-    qR = q[..., b0s:b0s + n + 1]
-    rdxL = rdxm[..., b0s - 1:b0s + n]
-    rdxR = rdxm[..., b0s:b0s + n + 1]
+    b0s = p(1)  # python index of B point 1
+    qL = A.rng(q, b0s - 1, b0s + n)      # u(i-1,j) for B i=1..npx
+    qR = A.rng(q, b0s, b0s + n + 1)
+    rdxL = A.rng(rdxm, b0s - 1, b0s + n)
+    rdxR = A.rng(rdxm, b0s, b0s + n + 1)
 
     if iord == 1:
         return fwhere(cb > 0.0, qL, qR)
 
-    er = edge_rows  # (R, 1) broadcastable
+    er = edge_rows
 
     if iord < 8:
-        z2 = jnp.zeros(q.shape[:-1] + (2,), q.dtype)
-        al = jnp.concatenate([
+        z2 = A.zeros_like_w(q, 2)
+        al = A.cat([
             z2,
-            P1 * (q[..., 1:ic - 2] + q[..., 2:ic - 1])
-            + P2 * (q[..., 0:ic - 3] + q[..., 3:ic]),
+            P1 * (A.rng(q, 1, ic - 2) + A.rng(q, 2, ic - 1))
+            + P2 * (A.rng(q, 0, ic - 3) + A.rng(q, 3, ic)),
             z2,
-        ], axis=-1)
-        bl = al[..., :-1] - q
-        br = al[..., 1:] - q
+        ])
+        bl = A.rng(al, 0, ic) - q
+        br = A.rng(al, 1, ic + 1) - q
         # west edge fixes (cells 0,1,2 -> padded p(0)..p(2)); all edge
-        # columns batched into one concat per array (ppm.set_cols)
+        # lines batched into one concat per array (ppm.set_cols)
         i1 = p(1)
-        xt = C3 * q[..., i1] + C2 * q[..., i1 + 1] + C1 * q[..., i1 + 2]
-        br_i1_a = xt - q[..., i1]
-        bl_i1p1 = xt - q[..., i1 + 1]
-        br_i1p1 = al[..., i1 + 3] - q[..., i1 + 1]
-        bl0 = C1 * q[..., i1 - 3] + C2 * q[..., i1 - 2] + C3 * q[..., i1 - 1] - q[..., i1 - 1]
-        xte = _edge_2sided(q, dxm, i1)
-        br0 = xte - q[..., i1 - 1]
-        bl1 = xte - q[..., i1]
+        xt = C3 * A.get(q, i1) + C2 * A.get(q, i1 + 1) + C1 * A.get(q, i1 + 2)
+        br_i1_a = xt - A.get(q, i1)
+        bl_i1p1 = xt - A.get(q, i1 + 1)
+        br_i1p1 = A.get(al, i1 + 3) - A.get(q, i1 + 1)
+        bl0 = (C1 * A.get(q, i1 - 3) + C2 * A.get(q, i1 - 2)
+               + C3 * A.get(q, i1 - 1) - A.get(q, i1 - 1))
+        xte = _edge_2sided(q, dxm, i1, A)
+        br0 = xte - A.get(q, i1 - 1)
+        bl1 = xte - A.get(q, i1)
         z = jnp.zeros_like(bl0)
         bl_i1m1 = jnp.where(er, z, bl0)
         br_i1m1 = jnp.where(er, z, br0)
@@ -118,32 +127,33 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         br_i1 = jnp.where(er, z, br_i1_a)
         # east edge (cells npx-2, npx-1, npx)
         iN = p(npx - 2)
-        bl_iN = al[..., iN] - q[..., iN]
-        xt = C1 * q[..., iN - 1] + C2 * q[..., iN] + C3 * q[..., iN + 1]
-        br_iN = xt - q[..., iN]
-        bl_iNp1_a = xt - q[..., iN + 1]
-        xte = _edge_2sided(q, dxm, p(npx))
-        brN1 = xte - q[..., iN + 1]
-        blN2 = xte - q[..., iN + 2]
-        brN2 = C3 * q[..., iN + 2] + C2 * q[..., iN + 3] + C1 * q[..., iN + 4] - q[..., iN + 2]
+        bl_iN = A.get(al, iN) - A.get(q, iN)
+        xt = C1 * A.get(q, iN - 1) + C2 * A.get(q, iN) + C3 * A.get(q, iN + 1)
+        br_iN = xt - A.get(q, iN)
+        bl_iNp1_a = xt - A.get(q, iN + 1)
+        xte = _edge_2sided(q, dxm, p(npx), A)
+        brN1 = xte - A.get(q, iN + 1)
+        blN2 = xte - A.get(q, iN + 2)
+        brN2 = (C3 * A.get(q, iN + 2) + C2 * A.get(q, iN + 3)
+                + C1 * A.get(q, iN + 4) - A.get(q, iN + 2))
         bl_iNp1 = jnp.where(er, z, bl_iNp1_a)
         br_iNp1 = jnp.where(er, z, brN1)
         bl_iNp2 = jnp.where(er, z, blN2)
         br_iNp2 = jnp.where(er, z, brN2)
         bl = ppm.set_cols(bl, [(i1 - 1, bl_i1m1), (i1, bl_i1),
                                (i1 + 1, bl_i1p1), (iN, bl_iN),
-                               (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)])
+                               (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)], A)
         br = ppm.set_cols(br, [(i1 - 1, br_i1m1), (i1, br_i1),
                                (i1 + 1, br_i1p1), (iN, br_iN),
-                               (iN + 1, br_iNp1), (iN + 2, br_iNp2)])
+                               (iN + 1, br_iNp1), (iN + 2, br_iNp2)], A)
 
         b0 = bl + br
-        blL = bl[..., b0s - 1:b0s + n]
-        brL = br[..., b0s - 1:b0s + n]
-        b0L = b0[..., b0s - 1:b0s + n]
-        blR = bl[..., b0s:b0s + n + 1]
-        brR = br[..., b0s:b0s + n + 1]
-        b0R = b0[..., b0s:b0s + n + 1]
+        blL = A.rng(bl, b0s - 1, b0s + n)
+        brL = A.rng(br, b0s - 1, b0s + n)
+        b0L = A.rng(b0, b0s - 1, b0s + n)
+        blR = A.rng(bl, b0s, b0s + n + 1)
+        brR = A.rng(br, b0s, b0s + n + 1)
+        b0R = A.rng(b0, b0s, b0s + n + 1)
         cflp = cb * rdxL
         cfln = cb * rdxR
         if iord == 2:
@@ -157,10 +167,10 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         if iord in (3, 4):
             smt5 = fbool(x0 < x1)
             smt6 = fbool(3.0 * x0 < x1)
-            s5L = smt5[..., b0s - 1:b0s + n]
-            s6L = smt6[..., b0s - 1:b0s + n]
-            s5R = smt5[..., b0s:b0s + n + 1]
-            s6R = smt6[..., b0s:b0s + n + 1]
+            s5L = A.rng(smt5, b0s - 1, b0s + n)
+            s6L = A.rng(smt6, b0s - 1, b0s + n)
+            s5R = A.rng(smt5, b0s, b0s + n + 1)
+            s6R = A.rng(smt6, b0s, b0s + n + 1)
             if iord == 3:
                 fx0p = jnp.where(
                     s6L | s5R,
@@ -193,8 +203,8 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
             smt5 = fbool(bl * br < 0.0)
         else:
             smt5 = fbool(jnp.abs(3.0 * b0) < x1)
-        s5L = smt5[..., b0s - 1:b0s + n]
-        s5R = smt5[..., b0s:b0s + n + 1]
+        s5L = A.rng(smt5, b0s - 1, b0s + n)
+        s5R = A.rng(smt5, b0s, b0s + n + 1)
         cbpos = fbool(cb > 0.0)
         fx0 = jnp.where(
             cbpos,
@@ -205,9 +215,9 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         return base + jnp.where(s5L | s5R, fx0, 0.0)
 
     # ---- iord >= 8 (monotone family, sw_core_nlm.F90:2168-2306) ----
-    qm1 = q[..., 0:ic - 2]
-    qp1 = q[..., 2:ic]
-    q0 = q[..., 1:ic - 1]
+    qm1 = A.rng(q, 0, ic - 2)
+    qp1 = A.rng(q, 2, ic)
+    q0 = A.rng(q, 1, ic - 1)
     xt = 0.25 * (qp1 - qm1)
     dm_i = fsign_mul(xt, fmin(
         fabs(xt),
@@ -216,26 +226,26 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
             q0 - fmin(fmin(qm1, q0), qp1),
         ),
     ))
-    z1 = jnp.zeros(q.shape[:-1] + (1,), q.dtype)
-    dm = jnp.concatenate([z1, dm_i, z1], axis=-1)
-    dq = jnp.concatenate([q[..., 1:ic] - q[..., 0:ic - 1], z1], axis=-1)
+    z1 = A.zeros_like_w(q, 1)
+    dm = A.cat([z1, dm_i, z1])
+    dq = A.cat([A.rng(q, 1, ic) - A.rng(q, 0, ic - 1), z1])
 
-    al = jnp.concatenate([
+    al = A.cat([
         z1,
-        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
-        + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic]),
+        0.5 * (A.rng(q, 0, ic - 1) + A.rng(q, 1, ic))
+        + R3 * (A.rng(dm, 0, ic - 1) - A.rng(dm, 1, ic)),
         z1,
-    ], axis=-1)
-    bl = al[..., :-1] - q
-    br = al[..., 1:] - q
+    ])
+    bl = A.rng(al, 0, ic) - q
+    br = A.rng(al, 1, ic + 1) - q
     if iord == 8:
         xt2 = 2.0 * dm
         bl = -fsign_mul(xt2, fmin(fabs(xt2), fabs(bl)))
         br = fsign_mul(xt2, fmin(fabs(xt2), fabs(br)))
     elif iord in (9, 10):
-        dqm1 = jnp.roll(dq, 1, axis=-1)
-        dqm2 = jnp.roll(dq, 2, axis=-1)
-        dqp1 = jnp.roll(dq, -1, axis=-1)
+        dqm1 = jnp.roll(dq, 1, axis=A.ax)
+        dqm2 = jnp.roll(dq, 2, axis=A.ax)
+        dqp1 = jnp.roll(dq, -1, axis=A.ax)
         pmp_1 = -2.0 * dq
         lac_1 = pmp_1 + 1.5 * dqp1
         bl_l = fmin(
@@ -251,8 +261,8 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
         if iord == 9:
             bl, br = bl_l, br_l
         else:
-            dmm1 = jnp.roll(dm, 1, axis=-1)
-            dmp1 = jnp.roll(dm, -1, axis=-1)
+            dmm1 = jnp.roll(dm, 1, axis=A.ax)
+            dmp1 = jnp.roll(dm, -1, axis=A.ax)
             flat = (jnp.abs(dm) < NEAR_ZERO) & (
                 jnp.abs(dmm1) + jnp.abs(dmp1) < NEAR_ZERO
             )
@@ -261,56 +271,60 @@ def _xtp_flux(q, cb, iord, dxm, rdxm, npx, edge_rows):
             br = fwhere(flat, 0.0, fwhere(noisy, br_l, br))
     # iord == 11: unlimited bl/br as computed
 
-    # west edge (sw_core_nlm.F90:2237-2261); edge columns batched into one
+    # west edge (sw_core_nlm.F90:2237-2261); edge lines batched into one
     # concat per array
     i1 = p(1)
-    br_i1p1_a = al[..., i1 + 3] - q[..., i1 + 1]
-    xt = S15 * q[..., i1] + S11 * q[..., i1 + 1] - S14 * dm[..., i1 + 1]
-    bl_i1p1_a = xt - q[..., i1 + 1]
-    br_i1_a = xt - q[..., i1]
-    bl0 = S14 * dm[..., i1 - 2] - S11 * dq[..., i1 - 2]
-    xte = _edge_2sided(q, dxm, i1)
+    br_i1p1_a = A.get(al, i1 + 3) - A.get(q, i1 + 1)
+    xt = (S15 * A.get(q, i1) + S11 * A.get(q, i1 + 1)
+          - S14 * A.get(dm, i1 + 1))
+    bl_i1p1_a = xt - A.get(q, i1 + 1)
+    br_i1_a = xt - A.get(q, i1)
+    bl0 = S14 * A.get(dm, i1 - 2) - S11 * A.get(dq, i1 - 2)
+    xte = _edge_2sided(q, dxm, i1, A)
     z = jnp.zeros_like(bl0)
     bl_i1m1 = jnp.where(er, z, bl0)
-    br_i1m1 = jnp.where(er, z, xte - q[..., i1 - 1])
-    bl_i1 = jnp.where(er, z, xte - q[..., i1])
+    br_i1m1 = jnp.where(er, z, xte - A.get(q, i1 - 1))
+    bl_i1 = jnp.where(er, z, xte - A.get(q, i1))
     br_i1 = jnp.where(er, z, br_i1_a)
     b2l, b2r = ppm.pert_ppm(
-        q[..., i1 + 1:i1 + 2], bl_i1p1_a[..., None], br_i1p1_a[..., None], 1
+        A.rng(q, i1 + 1, i1 + 2), A.exp(bl_i1p1_a), A.exp(br_i1p1_a), 1
     )
-    bl_i1p1 = b2l[..., 0]
-    br_i1p1 = b2r[..., 0]
+    bl_i1p1 = A.get(b2l, 0)
+    br_i1p1 = A.get(b2r, 0)
 
     # east edge (:2264-2290)
     iN = p(npx - 2)
-    bl_iN_a = al[..., iN] - q[..., iN]
-    xt = S15 * q[..., iN + 1] + S11 * q[..., iN] + S14 * dm[..., iN]
-    br_iN_a = xt - q[..., iN]
-    bl_iNp1_a = xt - q[..., iN + 1]
-    brN2 = S11 * dq[..., iN + 2] - S14 * dm[..., iN + 3]
-    xte = _edge_2sided(q, dxm, p(npx))
+    bl_iN_a = A.get(al, iN) - A.get(q, iN)
+    xt = (S15 * A.get(q, iN + 1) + S11 * A.get(q, iN)
+          + S14 * A.get(dm, iN))
+    br_iN_a = xt - A.get(q, iN)
+    bl_iNp1_a = xt - A.get(q, iN + 1)
+    brN2 = S11 * A.get(dq, iN + 2) - S14 * A.get(dm, iN + 3)
+    xte = _edge_2sided(q, dxm, p(npx), A)
     bl_iNp1 = jnp.where(er, z, bl_iNp1_a)
-    br_iNp1 = jnp.where(er, z, xte - q[..., iN + 1])
-    bl_iNp2 = jnp.where(er, z, xte - q[..., iN + 2])
+    br_iNp1 = jnp.where(er, z, xte - A.get(q, iN + 1))
+    bl_iNp2 = jnp.where(er, z, xte - A.get(q, iN + 2))
     br_iNp2 = jnp.where(er, z, brN2)
     b2l, b2r = ppm.pert_ppm(
-        q[..., iN:iN + 1], bl_iN_a[..., None], br_iN_a[..., None], 1
+        A.rng(q, iN, iN + 1), A.exp(bl_iN_a), A.exp(br_iN_a), 1
     )
-    bl_iN = b2l[..., 0]
-    br_iN = b2r[..., 0]
+    bl_iN = A.get(b2l, 0)
+    br_iN = A.get(b2r, 0)
 
     bl = ppm.set_cols(bl, [(i1 - 1, bl_i1m1), (i1, bl_i1), (i1 + 1, bl_i1p1),
-                           (iN, bl_iN), (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)])
+                           (iN, bl_iN), (iN + 1, bl_iNp1), (iN + 2, bl_iNp2)],
+                      A)
     br = ppm.set_cols(br, [(i1 - 1, br_i1m1), (i1, br_i1), (i1 + 1, br_i1p1),
-                           (iN, br_iN), (iN + 1, br_iNp1), (iN + 2, br_iNp2)])
+                           (iN, br_iN), (iN + 1, br_iNp1), (iN + 2, br_iNp2)],
+                      A)
 
     b0 = bl + br
-    blL = bl[..., b0s - 1:b0s + n]
-    brL = br[..., b0s - 1:b0s + n]
-    b0L = b0[..., b0s - 1:b0s + n]
-    blR = bl[..., b0s:b0s + n + 1]
-    brR = br[..., b0s:b0s + n + 1]
-    b0R = b0[..., b0s:b0s + n + 1]
+    blL = A.rng(bl, b0s - 1, b0s + n)
+    brL = A.rng(br, b0s - 1, b0s + n)
+    b0L = A.rng(b0, b0s - 1, b0s + n)
+    blR = A.rng(bl, b0s, b0s + n + 1)
+    brR = A.rng(br, b0s, b0s + n + 1)
+    b0R = A.rng(b0, b0s, b0s + n + 1)
     cflp = cb * rdxL
     cfln = cb * rdxR
     return fwhere(
@@ -340,23 +354,19 @@ def xtp_u(cb, u, dx, rdx, iord, npx):
 
 
 def ytp_v(cb, v, dy, rdy, jord, npx):
-    """Flux of v along y at B points (sw_core_nlm.F90:2312); mirror of xtp_u."""
+    """Flux of v along y at B points (sw_core_nlm.F90:2312): the same
+    operator along axis -2, transpose-free."""
     if isinstance(jord, tuple):
         main, sponge, mask = jord
         return jnp.where(mask, ytp_v(cb, v, dy, rdy, sponge, npx),
                          ytp_v(cb, v, dy, rdy, main, npx))
     bs = SL(1, npx)
-    rows = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
-    fl = _xtp_flux(
-        v[..., :, bs].swapaxes(-1, -2),
-        cb[..., bs, bs].swapaxes(-1, -2),
-        jord,
-        dy[..., :, bs].swapaxes(-1, -2),
-        rdy[..., :, bs].swapaxes(-1, -2),
-        npx,
-        rows,
+    cols = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
+    return _xtp_flux(
+        v[..., :, bs], cb[..., bs, bs], jord,
+        dy[..., :, bs], rdy[..., :, bs], npx, cols,
+        A=ppm._AXY,
     )
-    return fl.swapaxes(-1, -2)
 
 
 def d_sw(

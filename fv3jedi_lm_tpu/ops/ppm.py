@@ -17,9 +17,12 @@ All branchy limiters become `jnp.where` selects; the face-edge one-sided
 reconstructions (grid_type<3 cubed-sphere edges) are static column updates
 at the fixed edge positions (every face has is=1, ie=npx-1 in this layout).
 
-Array convention: operations on the LAST axis; q is a padded center array
-(..., IC) with IC = n + 2*ng; edge-indexed arrays have width IC + 1 with
-edge e between cells e-1, e; face edges at e = ng and e = ng + n.
+Array convention: the operator works along a chosen axis (`ax` = -1 for
+xppm, -2 for yppm) with NO data transposes — on TPU a swapaxes of the two
+minor dims is a real relayout copy, and yppm runs on every advected
+variable every acoustic substep.  q is a padded center array of width
+IC = n + 2*ng along `ax`; edge-indexed arrays have width IC + 1 with edge e
+between cells e-1, e; face edges at e = ng and e = ng + n.
 """
 
 from __future__ import annotations
@@ -44,36 +47,70 @@ PPM_FAC = 1.5
 PPM_LIMITER = 2.0
 
 
-def set_cols(a, updates):
-    """Replace single columns of `a` (last axis) in ONE concatenate.
+class _Ax:
+    """Slicing helpers along the working axis (-1 or -2)."""
 
-    updates: list of (static col index, value of shape a.shape[:-1]) in
-    ascending column order.  One concat kernel replaces N dynamic-update-
-    slice kernels — the dominant op-count term of the round-3 TPU profile
-    (NOTES_BUILD.md: 7.6k dynamic-update-slices per step)."""
+    def __init__(self, ax: int):
+        self.ax = ax
+
+    def get(self, x, i):
+        return x[..., i] if self.ax == -1 else x[..., i, :]
+
+    def rng(self, x, a, b):
+        return x[..., a:b] if self.ax == -1 else x[..., a:b, :]
+
+    def stk(self, vs):
+        return jnp.stack(vs, axis=self.ax if self.ax == -1 else -2)
+
+    def cat(self, ps):
+        return jnp.concatenate(ps, axis=self.ax)
+
+    def size(self, x):
+        return x.shape[self.ax]
+
+    def zeros_like_w(self, x, w):
+        if self.ax == -1:
+            return jnp.zeros(x.shape[:-1] + (w,), x.dtype)
+        return jnp.zeros(x.shape[:-2] + (w, x.shape[-1]), x.dtype)
+
+    def exp(self, v):
+        """Add back the working axis to a single-line value."""
+        return v[..., None] if self.ax == -1 else v[..., None, :]
+
+
+_AXX = _Ax(-1)
+_AXY = _Ax(-2)
+
+
+def set_cols(a, updates, A: _Ax = _AXX):
+    """Replace single lines of `a` along the working axis in ONE concat.
+
+    updates: list of (static index, value of the line's shape) ascending.
+    One concat kernel replaces N dynamic-update-slice kernels — the
+    dominant op-count term of the round-3 TPU profile (NOTES_BUILD.md)."""
     parts = []
     prev = 0
     for col, val in updates:
         if col > prev:
-            parts.append(a[..., prev:col])
-        parts.append(val[..., None])
+            parts.append(A.rng(a, prev, col))
+        parts.append(A.exp(val))
         prev = col + 1
-    if prev < a.shape[-1]:
-        parts.append(a[..., prev:])
-    return jnp.concatenate(parts, axis=-1)
+    if prev < A.size(a):
+        parts.append(A.rng(a, prev, A.size(a)))
+    return A.cat(parts)
 
 
-def _al_interior(q):
+def _al_interior(q, A: _Ax):
     """Unlimited interface values: width IC+1, valid e in [2, IC-2]."""
-    ic = q.shape[-1]
-    val = P1 * (q[..., 1:ic - 2] + q[..., 2:ic - 1]) + P2 * (
-        q[..., 0:ic - 3] + q[..., 3:ic]
+    ic = A.size(q)
+    val = P1 * (A.rng(q, 1, ic - 2) + A.rng(q, 2, ic - 1)) + P2 * (
+        A.rng(q, 0, ic - 3) + A.rng(q, 3, ic)
     )
-    z = jnp.zeros(q.shape[:-1] + (2,), q.dtype)
-    return jnp.concatenate([z, val, z], axis=-1)
+    z = A.zeros_like_w(q, 2)
+    return A.cat([z, val, z])
 
 
-def _edge_interp(q, dxa, i0):
+def _edge_interp(q, dxa, i0, A: _Ax):
     """Two-sided edge interface value at edge python-index e=i0+? ...
 
     Implements (tp_core_nlm.F90:346-349): for a face edge between cells
@@ -81,12 +118,13 @@ def _edge_interp(q, dxa, i0):
                         + ((2*d1+d2)*q1 - d1*q2)/(d1+d2) )
     where cells qm,q0 | q1,q2 flank the edge; i0 is the padded index of q1.
     """
-    qm, q0, q1, q2 = (q[..., i0 - 2], q[..., i0 - 1], q[..., i0], q[..., i0 + 1])
+    qm, q0, q1, q2 = (A.get(q, i0 - 2), A.get(q, i0 - 1), A.get(q, i0),
+                      A.get(q, i0 + 1))
     dm, d0, d1, d2 = (
-        dxa[..., i0 - 2],
-        dxa[..., i0 - 1],
-        dxa[..., i0],
-        dxa[..., i0 + 1],
+        A.get(dxa, i0 - 2),
+        A.get(dxa, i0 - 1),
+        A.get(dxa, i0),
+        A.get(dxa, i0 + 1),
     )
     return 0.5 * (
         ((2.0 * d0 + dm) * q0 - d0 * qm) / (dm + d0)
@@ -120,50 +158,51 @@ def pert_ppm(a0, al, ar, iv):
         return fwhere(opp, al_n, 0.0), fwhere(opp, ar_n, 0.0)
 
 
-def _bl_br_low(q, dxa, iord):
+def _bl_br_low(q, dxa, iord, A: _Ax):
     """bl/br for iord<8 with cubed-sphere edge fixes; valid cells [2, IC-3]."""
-    ic = q.shape[-1]
+    ic = A.size(q)
     n = ic - 2 * NG
-    al = _al_interior(q)
+    al = _al_interior(q, A)
 
     if iord == 7:
-        half = 0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
-        alv = al[..., 1:ic]
-        al = al.at[..., 1:ic].set(fwhere(alv < 0.0, half, alv))
+        half = 0.5 * (A.rng(q, 0, ic - 1) + A.rng(q, 1, ic))
+        alv = A.rng(al, 1, ic)
+        al = A.cat([A.rng(al, 0, 1), fwhere(alv < 0.0, half, alv),
+                    A.rng(al, ic, ic + 1)])
 
     # face-edge interface overrides (tp_core_nlm.F90:341-369), all six
-    # columns replaced in one concat (see set_cols)
+    # lines replaced in one concat (see set_cols)
     e_w = NG          # west face edge index
     e_e = NG + n      # east face edge
     edge_vals = [
-        (e_w - 1, C1 * q[..., e_w - 3] + C2 * q[..., e_w - 2]
-         + C3 * q[..., e_w - 1]),
-        (e_w, _edge_interp(q, dxa, e_w)),
-        (e_w + 1, C3 * q[..., e_w] + C2 * q[..., e_w + 1]
-         + C1 * q[..., e_w + 2]),
-        (e_e - 1, C1 * q[..., e_e - 3] + C2 * q[..., e_e - 2]
-         + C3 * q[..., e_e - 1]),
-        (e_e, _edge_interp(q, dxa, e_e)),
-        (e_e + 1, C3 * q[..., e_e] + C2 * q[..., e_e + 1]
-         + C1 * q[..., e_e + 2]),
+        (e_w - 1, C1 * A.get(q, e_w - 3) + C2 * A.get(q, e_w - 2)
+         + C3 * A.get(q, e_w - 1)),
+        (e_w, _edge_interp(q, dxa, e_w, A)),
+        (e_w + 1, C3 * A.get(q, e_w) + C2 * A.get(q, e_w + 1)
+         + C1 * A.get(q, e_w + 2)),
+        (e_e - 1, C1 * A.get(q, e_e - 3) + C2 * A.get(q, e_e - 2)
+         + C3 * A.get(q, e_e - 1)),
+        (e_e, _edge_interp(q, dxa, e_e, A)),
+        (e_e + 1, C3 * A.get(q, e_e) + C2 * A.get(q, e_e + 1)
+         + C1 * A.get(q, e_e + 2)),
     ]
     if iord == 7:
         edge_vals = [(e, fmax(0.0, v)) for e, v in edge_vals]
-    al = set_cols(al, edge_vals)
+    al = set_cols(al, edge_vals, A)
 
-    bl = al[..., :-1] - q          # al(i) - q(i), cell-aligned (width IC)
-    br = al[..., 1:] - q           # al(i+1) - q(i)
+    bl = A.rng(al, 0, ic) - q      # al(i) - q(i), cell-aligned (width IC)
+    br = A.rng(al, 1, ic + 1) - q  # al(i+1) - q(i)
     return bl, br
 
 
-def _bl_br_high(q, dxa, iord):
+def _bl_br_high(q, dxa, iord, A: _Ax):
     """bl/br for iord>=8 (monotone family) with edge fixes; cell-aligned."""
-    ic = q.shape[-1]
+    ic = A.size(q)
     n = ic - 2 * NG
 
-    qm1 = q[..., 0:ic - 2]
-    qp1 = q[..., 2:ic]
-    q0 = q[..., 1:ic - 1]
+    qm1 = A.rng(q, 0, ic - 2)
+    qp1 = A.rng(q, 2, ic)
+    q0 = A.rng(q, 1, ic - 1)
     xt = 0.25 * (qp1 - qm1)
     dm_i = fsign_mul(xt, fmin(
         fabs(xt),
@@ -172,18 +211,18 @@ def _bl_br_high(q, dxa, iord):
             q0 - fmin(fmin(qm1, q0), qp1),
         ),
     ))
-    z1 = jnp.zeros(q.shape[:-1] + (1,), q.dtype)
-    dm = jnp.concatenate([z1, dm_i, z1], axis=-1)
+    z1 = A.zeros_like_w(q, 1)
+    dm = A.cat([z1, dm_i, z1])
 
-    al = jnp.concatenate([
+    al = A.cat([
         z1,
-        0.5 * (q[..., 0:ic - 1] + q[..., 1:ic])
-        + R3 * (dm[..., 0:ic - 1] - dm[..., 1:ic]),
+        0.5 * (A.rng(q, 0, ic - 1) + A.rng(q, 1, ic))
+        + R3 * (A.rng(dm, 0, ic - 1) - A.rng(dm, 1, ic)),
         z1,
-    ], axis=-1)
+    ])
 
-    bl = al[..., :-1] - q
-    br = al[..., 1:] - q
+    bl = A.rng(al, 0, ic) - q
+    br = A.rng(al, 1, ic + 1) - q
 
     if iord in (8, 11):
         fac = 2.0 if iord == 8 else PPM_FAC
@@ -191,14 +230,12 @@ def _bl_br_high(q, dxa, iord):
         bl = -fsign_mul(xt2, fmin(fabs(xt2), fabs(bl)))
         br = fsign_mul(xt2, fmin(fabs(xt2), fabs(br)))
     elif iord in (9, 10, 12, 13):
-        dq = jnp.zeros_like(q).at[..., 0:ic - 1].set(
-            2.0 * (q[..., 1:ic] - q[..., 0:ic - 1])
-        )
-        dqm1 = jnp.roll(dq, 1, axis=-1)
-        dqm2 = jnp.roll(dq, 2, axis=-1)
-        dqp1 = jnp.roll(dq, -1, axis=-1)
-        dmm1 = jnp.roll(dm, 1, axis=-1)
-        dmp1 = jnp.roll(dm, -1, axis=-1)
+        dq = A.cat([2.0 * (A.rng(q, 1, ic) - A.rng(q, 0, ic - 1)), z1])
+        dqm1 = jnp.roll(dq, 1, axis=A.ax)
+        dqm2 = jnp.roll(dq, 2, axis=A.ax)
+        dqp1 = jnp.roll(dq, -1, axis=A.ax)
+        dmm1 = jnp.roll(dm, 1, axis=A.ax)
+        dmp1 = jnp.roll(dm, -1, axis=A.ax)
         flat = jnp.abs(dmm1) + jnp.abs(dm) + jnp.abs(dmp1) < NEAR_ZERO
         noisy = jnp.abs(3.0 * (bl + br)) > jnp.abs(bl - br)
         pmp_2 = dqm1
@@ -222,92 +259,93 @@ def _bl_br_high(q, dxa, iord):
     e_w, e_e = NG, NG + n
     # cells (Fortran) 0,1,2 -> padded e_w-1, e_w, e_w+1
     i0 = e_w - 1
-    bl0 = S14 * dm[..., i0 - 1] + S11 * (q[..., i0 - 1] - q[..., i0])
-    xt = _edge_interp(q, dxa, e_w)
+    bl0 = S14 * A.get(dm, i0 - 1) + S11 * (A.get(q, i0 - 1) - A.get(q, i0))
+    xt = _edge_interp(q, dxa, e_w, A)
     xt = fmax(
         xt,
         fmin(
-            fmin(q[..., i0 - 1], q[..., i0]),
-            fmin(q[..., i0 + 1], q[..., i0 + 2]),
+            fmin(A.get(q, i0 - 1), A.get(q, i0)),
+            fmin(A.get(q, i0 + 1), A.get(q, i0 + 2)),
         ),
     )
     xt = fmin(
         xt,
         fmax(
-            fmax(q[..., i0 - 1], q[..., i0]),
-            fmax(q[..., i0 + 1], q[..., i0 + 2]),
+            fmax(A.get(q, i0 - 1), A.get(q, i0)),
+            fmax(A.get(q, i0 + 1), A.get(q, i0 + 2)),
         ),
     )
-    br0 = xt - q[..., i0]
-    bl1 = xt - q[..., i0 + 1]
-    xt1 = S15 * q[..., i0 + 1] + S11 * q[..., i0 + 2] - S14 * dm[..., i0 + 2]
-    br1 = xt1 - q[..., i0 + 1]
-    bl2 = xt1 - q[..., i0 + 2]
-    al3 = 0.5 * (q[..., i0 + 2] + q[..., i0 + 3]) + R3 * (
-        dm[..., i0 + 2] - dm[..., i0 + 3]
+    br0 = xt - A.get(q, i0)
+    bl1 = xt - A.get(q, i0 + 1)
+    xt1 = (S15 * A.get(q, i0 + 1) + S11 * A.get(q, i0 + 2)
+           - S14 * A.get(dm, i0 + 2))
+    br1 = xt1 - A.get(q, i0 + 1)
+    bl2 = xt1 - A.get(q, i0 + 2)
+    al3 = 0.5 * (A.get(q, i0 + 2) + A.get(q, i0 + 3)) + R3 * (
+        A.get(dm, i0 + 2) - A.get(dm, i0 + 3)
     )
-    br2 = al3 - q[..., i0 + 2]
+    br2 = al3 - A.get(q, i0 + 2)
     # pert_ppm on the 3 edge cells (iv=1)
-    b_l = jnp.stack([bl0, bl1, bl2], axis=-1)
-    b_r = jnp.stack([br0, br1, br2], axis=-1)
-    a_0 = q[..., i0:i0 + 3]
+    b_l = A.stk([bl0, bl1, bl2])
+    b_r = A.stk([br0, br1, br2])
+    a_0 = A.rng(q, i0, i0 + 3)
     b_l_w, b_r_w = pert_ppm(a_0, b_l, b_r, 1)
 
-    # east edge: cells npx-2, npx-1, npx -> padded e_e-2+1=e_e-1? cells
-    # (Fortran npx-2 -> e_e - 2, npx-1 -> e_e - 1, npx -> e_e)
+    # east edge: cells npx-2, npx-1, npx -> padded e_e-2, e_e-1, e_e
     iN = e_e - 2
     blN0 = (
-        0.5 * (q[..., iN - 1] + q[..., iN])
-        + R3 * (dm[..., iN - 1] - dm[..., iN])
-        - q[..., iN]
+        0.5 * (A.get(q, iN - 1) + A.get(q, iN))
+        + R3 * (A.get(dm, iN - 1) - A.get(dm, iN))
+        - A.get(q, iN)
     )
-    xtN = S15 * q[..., iN + 1] + S11 * q[..., iN] + S14 * dm[..., iN]
-    brN0 = xtN - q[..., iN]
-    blN1 = xtN - q[..., iN + 1]
-    xtE = _edge_interp(q, dxa, e_e)
+    xtN = (S15 * A.get(q, iN + 1) + S11 * A.get(q, iN)
+           + S14 * A.get(dm, iN))
+    brN0 = xtN - A.get(q, iN)
+    blN1 = xtN - A.get(q, iN + 1)
+    xtE = _edge_interp(q, dxa, e_e, A)
     xtE = fmax(
         xtE,
         fmin(
-            fmin(q[..., iN], q[..., iN + 1]),
-            fmin(q[..., iN + 2], q[..., iN + 3]),
+            fmin(A.get(q, iN), A.get(q, iN + 1)),
+            fmin(A.get(q, iN + 2), A.get(q, iN + 3)),
         ),
     )
     xtE = fmin(
         xtE,
         fmax(
-            fmax(q[..., iN], q[..., iN + 1]),
-            fmax(q[..., iN + 2], q[..., iN + 3]),
+            fmax(A.get(q, iN), A.get(q, iN + 1)),
+            fmax(A.get(q, iN + 2), A.get(q, iN + 3)),
         ),
     )
-    brN1 = xtE - q[..., iN + 1]
-    blN2 = xtE - q[..., iN + 2]
-    brN2 = S11 * (q[..., iN + 3] - q[..., iN + 2]) - S14 * dm[..., iN + 3]
-    b_l = jnp.stack([blN0, blN1, blN2], axis=-1)
-    b_r = jnp.stack([brN0, brN1, brN2], axis=-1)
-    a_0 = q[..., iN:iN + 3]
+    brN1 = xtE - A.get(q, iN + 1)
+    blN2 = xtE - A.get(q, iN + 2)
+    brN2 = S11 * (A.get(q, iN + 3) - A.get(q, iN + 2)) - S14 * A.get(dm, iN + 3)
+    b_l = A.stk([blN0, blN1, blN2])
+    b_r = A.stk([brN0, brN1, brN2])
+    a_0 = A.rng(q, iN, iN + 3)
     b_l_e, b_r_e = pert_ppm(a_0, b_l, b_r, 1)
 
     # both 3-cell edge windows replaced in one concat per array
     def put(base, west, east):
-        return jnp.concatenate([
-            base[..., :i0], west, base[..., i0 + 3:iN], east,
-            base[..., iN + 3:],
-        ], axis=-1)
+        return A.cat([
+            A.rng(base, 0, i0), west, A.rng(base, i0 + 3, iN), east,
+            A.rng(base, iN + 3, ic),
+        ])
 
     return put(bl, b_l_w, b_l_e), put(br, b_r_w, b_r_e)
 
 
-def _flux_from_blbr(q, c, bl, br, e0, e1):
+def _flux_from_blbr(q, c, bl, br, e0, e1, A: _Ax):
     """Upwind PPM flux at edges e in [e0, e1): flux width e1-e0.
 
     c is edge-aligned with width e1-e0 already (courant at those edges).
     """
-    qL = q[..., e0 - 1:e1 - 1]   # cell left of edge
-    qR = q[..., e0:e1]
-    blL = bl[..., e0 - 1:e1 - 1]
-    brL = br[..., e0 - 1:e1 - 1]
-    blR = bl[..., e0:e1]
-    brR = br[..., e0:e1]
+    qL = A.rng(q, e0 - 1, e1 - 1)   # cell left of edge
+    qR = A.rng(q, e0, e1)
+    blL = A.rng(bl, e0 - 1, e1 - 1)
+    brL = A.rng(br, e0 - 1, e1 - 1)
+    blR = A.rng(bl, e0, e1)
+    brR = A.rng(br, e0, e1)
     b0L = blL + brL
     b0R = blR + brR
     fpos = qL + (1.0 - c) * (brL - c * b0L)
@@ -315,11 +353,12 @@ def _flux_from_blbr(q, c, bl, br, e0, e1):
     return fwhere(c > 0.0, fpos, fneg)
 
 
-def xppm(q, c, iord, dxa, e0=None, e1=None):
-    """PPM flux in x.  q: (..., IC) padded; c: courant at edges [e0, e1).
+def xppm(q, c, iord, dxa, e0=None, e1=None, ax: int = -1):
+    """PPM flux along axis `ax`.  q: padded width IC along ax; c: courant
+    at edges [e0, e1) along ax.
 
     Default edge range is the compute range [NG, NG+n+1] (Fortran is..ie+1).
-    Returns flux with width e1-e0.
+    Returns flux with width e1-e0 along ax.
 
     `iord` may be a per-level blend `(iord_main, iord_sponge, mask_k)` with
     mask_k an (npz,1,1,1) bool selecting the sponge scheme — the TLM's
@@ -328,24 +367,25 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
     """
     if isinstance(iord, tuple):
         main, sponge, mask = iord
-        fa = xppm(q, c, main, dxa, e0, e1)
-        fb = xppm(q, c, sponge, dxa, e0, e1)
+        fa = xppm(q, c, main, dxa, e0, e1, ax)
+        fb = xppm(q, c, sponge, dxa, e0, e1, ax)
         return jnp.where(mask, fb, fa)
-    ic = q.shape[-1]
+    A = _AXX if ax == -1 else _AXY
+    ic = A.size(q)
     n = ic - 2 * NG
     if e0 is None:
         e0, e1 = NG, NG + n + 1
-    assert c.shape[-1] == e1 - e0
+    assert A.size(c) == e1 - e0
 
     if iord == 1:
-        qL = q[..., e0 - 1:e1 - 1]
-        qR = q[..., e0:e1]
+        qL = A.rng(q, e0 - 1, e1 - 1)
+        qR = A.rng(q, e0, e1)
         return fwhere(c > 0.0, qL, qR)
 
     if iord < 8:
-        bl, br = _bl_br_low(q, dxa, iord)
+        bl, br = _bl_br_low(q, dxa, iord, A)
         if iord in (2, 7):
-            return _flux_from_blbr(q, c, bl, br, e0, e1)
+            return _flux_from_blbr(q, c, bl, br, e0, e1, A)
         b0 = bl + br
         x0 = jnp.abs(b0)
         x1 = jnp.abs(bl - br)
@@ -359,19 +399,19 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
         smt5 = fbool(smt5)
         if iord in (3, 4):
             smt6 = fbool(smt6)
-        qL = q[..., e0 - 1:e1 - 1]
-        qR = q[..., e0:e1]
-        blL = bl[..., e0 - 1:e1 - 1]
-        brL = br[..., e0 - 1:e1 - 1]
-        blR = bl[..., e0:e1]
-        brR = br[..., e0:e1]
-        b0L = b0[..., e0 - 1:e1 - 1]
-        b0R = b0[..., e0:e1]
+        qL = A.rng(q, e0 - 1, e1 - 1)
+        qR = A.rng(q, e0, e1)
+        blL = A.rng(bl, e0 - 1, e1 - 1)
+        brL = A.rng(br, e0 - 1, e1 - 1)
+        blR = A.rng(bl, e0, e1)
+        brR = A.rng(br, e0, e1)
+        b0L = A.rng(b0, e0 - 1, e1 - 1)
+        b0R = A.rng(b0, e0, e1)
         if iord == 3:
-            smt5L = smt5[..., e0 - 1:e1 - 1]
-            smt6L = smt6[..., e0 - 1:e1 - 1]
-            smt5R = smt5[..., e0:e1]
-            smt6R = smt6[..., e0:e1]
+            smt5L = A.rng(smt5, e0 - 1, e1 - 1)
+            smt6L = A.rng(smt6, e0 - 1, e1 - 1)
+            smt5R = A.rng(smt5, e0, e1)
+            smt6R = A.rng(smt6, e0, e1)
             fx1p = jnp.where(
                 smt6L | smt5R,
                 brL - c * b0L,
@@ -392,16 +432,16 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
                 qR + (1.0 + c) * fx1n,
             )
         if iord == 4:
-            smt5L = smt5[..., e0 - 1:e1 - 1]
-            smt6L = smt6[..., e0 - 1:e1 - 1]
-            smt5R = smt5[..., e0:e1]
-            smt6R = smt6[..., e0:e1]
+            smt5L = A.rng(smt5, e0 - 1, e1 - 1)
+            smt6L = A.rng(smt6, e0 - 1, e1 - 1)
+            smt5R = A.rng(smt5, e0, e1)
+            smt6R = A.rng(smt6, e0, e1)
             fx1p = jnp.where(smt6L | smt5R, (1.0 - c) * (brL - c * b0L), 0.0)
             fx1n = jnp.where(smt6R | smt5L, (1.0 + c) * (blR + c * b0R), 0.0)
             return fwhere(c > 0.0, qL + fx1p, qR + fx1n)
         # iord 5, 6
-        smt5L = smt5[..., e0 - 1:e1 - 1]
-        smt5R = smt5[..., e0:e1]
+        smt5L = A.rng(smt5, e0 - 1, e1 - 1)
+        smt5R = A.rng(smt5, e0, e1)
         cpos = fbool(c > 0.0)
         fx1 = jnp.where(
             cpos, (1.0 - c) * (brL - c * b0L), (1.0 + c) * (blR + c * b0R)
@@ -409,13 +449,10 @@ def xppm(q, c, iord, dxa, e0=None, e1=None):
         base = jnp.where(cpos, qL, qR)
         return base + jnp.where(smt5L | smt5R, fx1, 0.0)
 
-    bl, br = _bl_br_high(q, dxa, iord)
-    return _flux_from_blbr(q, c, bl, br, e0, e1)
+    bl, br = _bl_br_high(q, dxa, iord, A)
+    return _flux_from_blbr(q, c, bl, br, e0, e1, A)
 
 
 def yppm(q, c, jord, dya, e0=None, e1=None):
-    """PPM flux in y: same operator along axis -2."""
-    out = xppm(
-        q.swapaxes(-1, -2), c.swapaxes(-1, -2), jord, dya.swapaxes(-1, -2), e0, e1
-    )
-    return out.swapaxes(-1, -2)
+    """PPM flux in y: the same operator along axis -2, transpose-free."""
+    return xppm(q, c, jord, dya, e0, e1, ax=-2)

@@ -104,14 +104,27 @@ def d2a2c_vect(u, v, grid, npx):
     va = (vtmp - utmp * cosa_s) * rsin2
 
     # ---- utmp corner fixes, X-dir (sw_core_nlm.F90:2906-2926) ----
+    # every corner-copy block below is batched into one gather + one
+    # scatter (sources never alias targets, so order is immaterial)
     p = F2P
     je = n
-    for i in (-2, -1, 0):
-        utmp = utmp.at[..., p(0), p(i)].set(-vtmp[..., p(1 - i), p(0)])          # sw
-        utmp = utmp.at[..., p(npy), p(i)].set(vtmp[..., p(je + i), p(0)])        # nw
-    for i in (0, 1, 2):
-        utmp = utmp.at[..., p(0), p(npx + i)].set(vtmp[..., p(i + 1), p(npx)])   # se
-        utmp = utmp.at[..., p(npy), p(npx + i)].set(-vtmp[..., p(je - i), p(npx)])  # ne
+
+    def corner_put(dst, src, upd):
+        import numpy as np
+
+        tj = np.array([p(t[0]) for t, _, _ in upd])
+        ti = np.array([p(t[1]) for t, _, _ in upd])
+        sj = np.array([p(s[0]) for _, s, _ in upd])
+        si = np.array([p(s[1]) for _, s, _ in upd])
+        sg = jnp.asarray(np.array([s for _, _, s in upd], np.float64),
+                         dst.dtype)
+        return dst.at[..., tj, ti].set(sg * src[..., sj, si])
+
+    utmp = corner_put(utmp, vtmp, [
+        ((0, i), (1 - i, 0), -1.0) for i in (-2, -1, 0)] + [
+        ((npy, i), (je + i, 0), 1.0) for i in (-2, -1, 0)] + [
+        ((0, npx + i), (i + 1, npx), 1.0) for i in (0, 1, 2)] + [
+        ((npy, npx + i), (je - i, npx), -1.0) for i in (0, 1, 2)])
 
     # ---- uc interior 4th order (sw_core_nlm.F90:2936-2944) ----
     jb = jc + 1
@@ -121,129 +134,115 @@ def d2a2c_vect(u, v, grid, npx):
         A2 * (utmp[..., :, 0:jc - 3] + utmp[..., :, 3:jc])
         + A1 * (utmp[..., :, 1:jc - 2] + utmp[..., :, 2:jc - 1])
     )
-    ut = (uc - v * cosa_u) * rsin_u
+    # (ut is derived from the FINAL uc after the edge-column assembly below)
 
     # ---- ua corner fixes, X-dir (sw_core_nlm.F90:2946-2962) ----
-    ua_f = ua
-    ua_f = ua_f.at[..., p(0), p(-1)].set(-va[..., p(2), p(0)])
-    ua_f = ua_f.at[..., p(0), p(0)].set(-va[..., p(1), p(0)])
-    ua_f = ua_f.at[..., p(0), p(npx)].set(va[..., p(1), p(npx)])
-    ua_f = ua_f.at[..., p(0), p(npx + 1)].set(va[..., p(2), p(npx)])
-    ua_f = ua_f.at[..., p(npy), p(npx)].set(-va[..., p(npy - 1), p(npx)])
-    ua_f = ua_f.at[..., p(npy), p(npx + 1)].set(-va[..., p(npy - 2), p(npx)])
-    ua_f = ua_f.at[..., p(npy), p(-1)].set(va[..., p(npy - 2), p(0)])
-    ua_f = ua_f.at[..., p(npy), p(0)].set(va[..., p(npy - 1), p(0)])
-    ua = ua_f
+    ua = corner_put(ua, va, [
+        ((0, -1), (2, 0), -1.0), ((0, 0), (1, 0), -1.0),
+        ((0, npx), (1, npx), 1.0), ((0, npx + 1), (2, npx), 1.0),
+        ((npy, npx), (npy - 1, npx), -1.0),
+        ((npy, npx + 1), (npy - 2, npx), -1.0),
+        ((npy, -1), (npy - 2, 0), 1.0), ((npy, 0), (npy - 1, 0), 1.0)])
 
     # ---- west/east edge columns of uc/ut (sw_core_nlm.F90:2964-3000) ----
-    def x_edge(uc, ut, edge_i):
-        """edge_i: Fortran C-grid edge index (1 west, npx east)."""
+    # all six uc edge columns assembled in ONE concat; ut recomputed from
+    # the final uc (identical off-edge: uc unchanged there) + 2-column fix
+    from .ppm import set_cols as _set_cols
+
+    def x_edge_cols(edge_i):
         ei = p(edge_i)
-        # one-sided cubic on the two flanking interfaces
         if edge_i == 1:
-            uc = uc.at[..., :, ei - 1].set(
-                C1 * utmp[..., :, p(-2)] + C2 * utmp[..., :, p(-1)] + C3 * utmp[..., :, p(0)]
-            )
-            uc = uc.at[..., :, ei + 1].set(
-                C1 * utmp[..., :, p(3)] + C2 * utmp[..., :, p(2)] + C3 * utmp[..., :, p(1)]
-            )
-            ua4 = jnp.stack([ua[..., :, p(-1)], ua[..., :, p(0)], ua[..., :, p(1)], ua[..., :, p(2)]], -1)
-            dx4 = jnp.stack([dxa[..., :, p(-1)], dxa[..., :, p(0)], dxa[..., :, p(1)], dxa[..., :, p(2)]], -1)
+            ucm1 = (C1 * utmp[..., :, p(-2)] + C2 * utmp[..., :, p(-1)]
+                    + C3 * utmp[..., :, p(0)])
+            ucp1 = (C1 * utmp[..., :, p(3)] + C2 * utmp[..., :, p(2)]
+                    + C3 * utmp[..., :, p(1)])
+            ua4 = jnp.stack([ua[..., :, p(-1)], ua[..., :, p(0)],
+                             ua[..., :, p(1)], ua[..., :, p(2)]], -1)
+            dx4 = jnp.stack([dxa[..., :, p(-1)], dxa[..., :, p(0)],
+                             dxa[..., :, p(1)], dxa[..., :, p(2)]], -1)
             sg3 = sin_sg[2][..., :, p(0)]
             sg1 = sin_sg[0][..., :, p(1)]
         else:
-            uc = uc.at[..., :, ei - 1].set(
-                C1 * utmp[..., :, p(npx - 3)] + C2 * utmp[..., :, p(npx - 2)] + C3 * utmp[..., :, p(npx - 1)]
-            )
-            uc = uc.at[..., :, ei + 1].set(
-                C3 * utmp[..., :, p(npx)] + C2 * utmp[..., :, p(npx + 1)] + C1 * utmp[..., :, p(npx + 2)]
-            )
-            ua4 = jnp.stack([ua[..., :, p(npx - 2)], ua[..., :, p(npx - 1)], ua[..., :, p(npx)], ua[..., :, p(npx + 1)]], -1)
-            dx4 = jnp.stack([dxa[..., :, p(npx - 2)], dxa[..., :, p(npx - 1)], dxa[..., :, p(npx)], dxa[..., :, p(npx + 1)]], -1)
+            ucm1 = (C1 * utmp[..., :, p(npx - 3)] + C2 * utmp[..., :, p(npx - 2)]
+                    + C3 * utmp[..., :, p(npx - 1)])
+            ucp1 = (C3 * utmp[..., :, p(npx)] + C2 * utmp[..., :, p(npx + 1)]
+                    + C1 * utmp[..., :, p(npx + 2)])
+            ua4 = jnp.stack([ua[..., :, p(npx - 2)], ua[..., :, p(npx - 1)],
+                             ua[..., :, p(npx)], ua[..., :, p(npx + 1)]], -1)
+            dx4 = jnp.stack([dxa[..., :, p(npx - 2)], dxa[..., :, p(npx - 1)],
+                             dxa[..., :, p(npx)], dxa[..., :, p(npx + 1)]], -1)
             sg3 = sin_sg[2][..., :, p(npx - 1)]
             sg1 = sin_sg[0][..., :, p(npx)]
         ute = _edge_interpolate4(ua4, dx4)
-        ut = ut.at[..., :, ei].set(ute)
-        uc = uc.at[..., :, ei].set(fwhere(ute > 0.0, ute * sg3, ute * sg1))
-        ut = ut.at[..., :, ei - 1].set(
-            (uc[..., :, ei - 1] - v[..., :, ei - 1] * cosa_u[..., :, ei - 1])
-            * rsin_u[..., :, ei - 1]
-        )
-        ut = ut.at[..., :, ei + 1].set(
-            (uc[..., :, ei + 1] - v[..., :, ei + 1] * cosa_u[..., :, ei + 1])
-            * rsin_u[..., :, ei + 1]
-        )
-        return uc, ut
+        uce = fwhere(ute > 0.0, ute * sg3, ute * sg1)
+        return ei, ucm1, uce, ucp1, ute
 
-    uc, ut = x_edge(uc, ut, 1)
-    uc, ut = x_edge(uc, ut, npx)
+    eiw, ucw_m1, ucw, ucw_p1, utew = x_edge_cols(1)
+    eie, uce_m1, uce, uce_p1, utee = x_edge_cols(npx)
+    uc = _set_cols(uc, [(eiw - 1, ucw_m1), (eiw, ucw), (eiw + 1, ucw_p1),
+                        (eie - 1, uce_m1), (eie, uce), (eie + 1, uce_p1)])
+    ut = (uc - v * cosa_u) * rsin_u
+    ut = _set_cols(ut, [(eiw, utew), (eie, utee)])
 
     # ---- vtmp corner fixes, Y-dir (sw_core_nlm.F90:3004-3024) ----
     ie = n
-    for j in (-2, -1, 0):
-        vtmp = vtmp.at[..., p(j), p(0)].set(-utmp[..., p(0), p(1 - j)])          # sw
-        vtmp = vtmp.at[..., p(j), p(npx)].set(utmp[..., p(0), p(ie + j)])        # se
-    for j in (0, 1, 2):
-        vtmp = vtmp.at[..., p(npy + j), p(0)].set(utmp[..., p(npy), p(j + 1)])   # nw
-        vtmp = vtmp.at[..., p(npy + j), p(npx)].set(-utmp[..., p(npy), p(ie - j)])  # ne
-    va_f = va
-    va_f = va_f.at[..., p(-1), p(0)].set(-ua[..., p(0), p(2)])
-    va_f = va_f.at[..., p(0), p(0)].set(-ua[..., p(0), p(1)])
-    va_f = va_f.at[..., p(0), p(npx)].set(ua[..., p(0), p(npx - 1)])
-    va_f = va_f.at[..., p(-1), p(npx)].set(ua[..., p(0), p(npx - 2)])
-    va_f = va_f.at[..., p(npy), p(npx)].set(-ua[..., p(npy), p(npx - 1)])
-    va_f = va_f.at[..., p(npy + 1), p(npx)].set(-ua[..., p(npy), p(npx - 2)])
-    va_f = va_f.at[..., p(npy), p(0)].set(ua[..., p(npy), p(1)])
-    va_f = va_f.at[..., p(npy + 1), p(0)].set(ua[..., p(npy), p(2)])
-    va = va_f
+    vtmp = corner_put(vtmp, utmp, [
+        ((j, 0), (0, 1 - j), -1.0) for j in (-2, -1, 0)] + [
+        ((j, npx), (0, ie + j), 1.0) for j in (-2, -1, 0)] + [
+        ((npy + j, 0), (npy, j + 1), 1.0) for j in (0, 1, 2)] + [
+        ((npy + j, npx), (npy, ie - j), -1.0) for j in (0, 1, 2)])
+    va = corner_put(va, ua, [
+        ((-1, 0), (0, 2), -1.0), ((0, 0), (0, 1), -1.0),
+        ((0, npx), (0, npx - 1), 1.0), ((-1, npx), (0, npx - 2), 1.0),
+        ((npy, npx), (npy, npx - 1), -1.0),
+        ((npy + 1, npx), (npy, npx - 2), -1.0),
+        ((npy, 0), (npy, 1), 1.0), ((npy + 1, 0), (npy, 2), 1.0)])
 
-    # ---- vc: interior + edge rows (sw_core_nlm.F90:3026-3058) ----
+    # ---- vc: interior + edge rows (sw_core_nlm.F90:3026-3058), same
+    # batched assembly along axis -2 ----
+    from .ppm import _AXY
+
     vc = jnp.zeros(v.shape[:-2] + (jb, jc), dtype)
     vc = vc.at[..., 2:jc - 1, :].set(
         A2 * (vtmp[..., 0:jc - 3, :] + vtmp[..., 3:jc, :])
         + A1 * (vtmp[..., 1:jc - 2, :] + vtmp[..., 2:jc - 1, :])
     )
-    vt = (vc - u * cosa_v) * rsin_v
 
-    def y_edge(vc, vt, edge_j):
+    def y_edge_rows(edge_j):
         ej = p(edge_j)
         if edge_j == 1:
-            vc = vc.at[..., ej - 1, :].set(
-                C1 * vtmp[..., p(-2), :] + C2 * vtmp[..., p(-1), :] + C3 * vtmp[..., p(0), :]
-            )
-            vc = vc.at[..., ej + 1, :].set(
-                C1 * vtmp[..., p(3), :] + C2 * vtmp[..., p(2), :] + C3 * vtmp[..., p(1), :]
-            )
-            va4 = jnp.stack([va[..., p(-1), :], va[..., p(0), :], va[..., p(1), :], va[..., p(2), :]], -1)
-            dy4 = jnp.stack([dya[..., p(-1), :], dya[..., p(0), :], dya[..., p(1), :], dya[..., p(2), :]], -1)
+            vcm1 = (C1 * vtmp[..., p(-2), :] + C2 * vtmp[..., p(-1), :]
+                    + C3 * vtmp[..., p(0), :])
+            vcp1 = (C1 * vtmp[..., p(3), :] + C2 * vtmp[..., p(2), :]
+                    + C3 * vtmp[..., p(1), :])
+            va4 = jnp.stack([va[..., p(-1), :], va[..., p(0), :],
+                             va[..., p(1), :], va[..., p(2), :]], -1)
+            dy4 = jnp.stack([dya[..., p(-1), :], dya[..., p(0), :],
+                             dya[..., p(1), :], dya[..., p(2), :]], -1)
             sg4 = sin_sg[3][..., p(0), :]
             sg2 = sin_sg[1][..., p(1), :]
         else:
-            vc = vc.at[..., ej - 1, :].set(
-                C1 * vtmp[..., p(npy - 3), :] + C2 * vtmp[..., p(npy - 2), :] + C3 * vtmp[..., p(npy - 1), :]
-            )
-            vc = vc.at[..., ej + 1, :].set(
-                C3 * vtmp[..., p(npy), :] + C2 * vtmp[..., p(npy + 1), :] + C1 * vtmp[..., p(npy + 2), :]
-            )
-            va4 = jnp.stack([va[..., p(npy - 2), :], va[..., p(npy - 1), :], va[..., p(npy), :], va[..., p(npy + 1), :]], -1)
-            dy4 = jnp.stack([dya[..., p(npy - 2), :], dya[..., p(npy - 1), :], dya[..., p(npy), :], dya[..., p(npy + 1), :]], -1)
+            vcm1 = (C1 * vtmp[..., p(npy - 3), :] + C2 * vtmp[..., p(npy - 2), :]
+                    + C3 * vtmp[..., p(npy - 1), :])
+            vcp1 = (C3 * vtmp[..., p(npy), :] + C2 * vtmp[..., p(npy + 1), :]
+                    + C1 * vtmp[..., p(npy + 2), :])
+            va4 = jnp.stack([va[..., p(npy - 2), :], va[..., p(npy - 1), :],
+                             va[..., p(npy), :], va[..., p(npy + 1), :]], -1)
+            dy4 = jnp.stack([dya[..., p(npy - 2), :], dya[..., p(npy - 1), :],
+                             dya[..., p(npy), :], dya[..., p(npy + 1), :]], -1)
             sg4 = sin_sg[3][..., p(npy - 1), :]
             sg2 = sin_sg[1][..., p(npy), :]
         vte = _edge_interpolate4(va4, dy4)
-        vt = vt.at[..., ej, :].set(vte)
-        vc = vc.at[..., ej, :].set(fwhere(vte > 0.0, vte * sg4, vte * sg2))
-        vt = vt.at[..., ej - 1, :].set(
-            (vc[..., ej - 1, :] - u[..., ej - 1, :] * cosa_v[..., ej - 1, :])
-            * rsin_v[..., ej - 1, :]
-        )
-        vt = vt.at[..., ej + 1, :].set(
-            (vc[..., ej + 1, :] - u[..., ej + 1, :] * cosa_v[..., ej + 1, :])
-            * rsin_v[..., ej + 1, :]
-        )
-        return vc, vt
+        vce = fwhere(vte > 0.0, vte * sg4, vte * sg2)
+        return ej, vcm1, vce, vcp1, vte
 
-    vc, vt = y_edge(vc, vt, 1)
-    vc, vt = y_edge(vc, vt, npy)
+    ejs, vcs_m1, vcs, vcs_p1, vtes = y_edge_rows(1)
+    ejn, vcn_m1, vcn, vcn_p1, vten = y_edge_rows(npy)
+    vc = _set_cols(vc, [(ejs - 1, vcs_m1), (ejs, vcs), (ejs + 1, vcs_p1),
+                        (ejn - 1, vcn_m1), (ejn, vcn), (ejn + 1, vcn_p1)],
+                   _AXY)
+    vt = (vc - u * cosa_v) * rsin_v
+    vt = _set_cols(vt, [(ejs, vtes), (ejn, vten)], _AXY)
 
     return ua, va, uc, vc, ut, vt
 
@@ -252,8 +251,17 @@ def d2a2c_vect(u, v, grid, npx):
 # scalar corner fills used inside c_sw / d_sw (sw_core_nlm.F90:3186-3297)
 # ----------------------------------------------------------------------
 
-def fill_4corners(q, dir_, npx):
-    """fill_4corners for a center scalar (2-deep), sw_core_nlm.F90:3232+."""
+_F4C_CACHE: dict = {}
+
+
+def _f4c_idx(dir_, npx):
+    """Static target/source index vectors for fill_4corners."""
+    import numpy as np
+
+    key = (dir_, npx)
+    hit = _F4C_CACHE.get(key)
+    if hit is not None:
+        return hit
     p = F2P
     npy = npx
     if dir_ == 1:
@@ -270,9 +278,22 @@ def fill_4corners(q, dir_, npx):
             ((0, npy), (1, npy)), ((0, npy + 1), (2, npy)),
             ((npx, npy), (npx - 1, npy)), ((npx, npy + 1), (npx - 2, npy)),
         ]
-    for (ti, tj), (si, sj) in upd:
-        q = q.at[..., p(tj), p(ti)].set(q[..., p(sj), p(si)])
-    return q
+    tj = np.array([p(t[1]) for t, _ in upd])
+    ti = np.array([p(t[0]) for t, _ in upd])
+    sj = np.array([p(s[1]) for _, s in upd])
+    si = np.array([p(s[0]) for _, s in upd])
+    hit = (tj, ti, sj, si)
+    _F4C_CACHE[key] = hit
+    return hit
+
+
+def fill_4corners(q, dir_, npx):
+    """fill_4corners for a center scalar (2-deep), sw_core_nlm.F90:3232+.
+
+    All 8 corner copies batched into one gather + one scatter (no source
+    aliases any target, so this equals the reference's sequential order)."""
+    tj, ti, sj, si = _f4c_idx(dir_, npx)
+    return q.at[..., tj, ti].set(q[..., sj, si])
 
 
 def fill2_4corners(q1, q2, dir_, npx):
