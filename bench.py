@@ -38,13 +38,19 @@ def main():
          "import jax; print(jax.devices()[0].platform)"],
         capture_output=True, text=True, cwd=here)
     plat = (probe.stdout.strip().splitlines() or ["cpu"])[-1]
-    ladder = ([(97, 72), (97, 48), (49, 72), (49, 48), (25, 32)]
+    ladder = ([(97, 72), (49, 72), (49, 48), (25, 32)]
               if plat != "cpu" else [(25, 16)])
-    for npx, npz in ladder:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--case", str(npx), str(npz)],
-            capture_output=True, text=True, cwd=here)
+    for i, (npx, npz) in enumerate(ladder):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--case", str(npx), str(npz)],
+                capture_output=True, text=True, cwd=here,
+                timeout=(3000 if i == 0 else 1800))
+        except subprocess.TimeoutExpired:
+            print(f"# bench case c{npx - 1}L{npz} timed out",
+                  file=sys.stderr)
+            continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line:

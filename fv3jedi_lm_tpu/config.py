@@ -76,6 +76,8 @@ class DynConfig:
     # --- Rayleigh damping (fv_arrays_nlm.F90:286-288) ---
     tau: float = 0.0         # days; 0 => off
     rf_cutoff: float = 30.0e2
+    grid_type: int = 0       # <4: cube (Rayleigh_Super); >=4: doubly periodic (Rayleigh_Friction)
+    rayleigh_fast: bool = False  # HIWPP inline per-substep drag (dyn_core_nlm.F90:905-907,2219)
 
     # --- vertical coordinate / physics interface ---
     hydrostatic: bool = True

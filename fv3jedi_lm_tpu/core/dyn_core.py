@@ -362,8 +362,25 @@ def acoustic_carry(state, cfg, npz, dtype):
     )
 
 
+def _rayleigh_fast_factor(cfg, npz, dtype, dt, ptop, pm):
+    """Per-level inline Rayleigh drag factor rf(k) = 1/(1+dt/tau0*sin^2)
+    (Rayleigh_fast, dyn_core_nlm.F90:2219-2287); 1 below rf_cutoff."""
+    import numpy as np
+
+    rff = np.ones(npz)
+    for k in range(npz):
+        if pm[k] < cfg.rf_cutoff:
+            r = (dt / (cfg.tau * 86400.0)
+                 * np.sin(0.5 * np.pi * np.log(cfg.rf_cutoff / pm[k])
+                          / np.log(cfg.rf_cutoff / ptop)) ** 2)
+            rff[k] = 1.0 / (1.0 + r)
+        else:
+            break
+    return jnp.asarray(rff, dtype).reshape(npz, 1, 1, 1)
+
+
 def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
-                          mode="traj"):
+                          mode="traj", pm=None):
     """Build the pure one-acoustic-sub-step function substep(carry, consts).
 
     consts = {"phis": padded surface geopotential}.  One sub-step =
@@ -402,15 +419,14 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
     else:
         hords_p = kcoef_p = None
 
-    def substep(c, consts):
+    def stage_a(c, consts):
+        """halo(u,v) -> c_sw -> geopk(C) -> p_grad_c -> halo(uc,vc)."""
         from ..timing import scope
 
         phis = consts["phis"]
         u, v, w = c["u"], c["v"], c["w"]
         delp, pt = c["delp"], c["pt"]
-        uc, vc, divgd = c["uc"], c["vc"], c["divgd"]
-        mfx, mfy, cx, cy = c["mfx"], c["mfy"], c["cx"], c["cy"]
-        lead = u.shape[:-2]
+        uc, vc = c["uc"], c["vc"]
 
         with scope("halo_uv"):
             u, v = halo.fill_halo_dgrid(u, v, topo)
@@ -431,11 +447,22 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
         uc, vc = halo.fill_halo_cgrid(uc, vc, topo)
 
+        ab = dict(u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc,
+                  divgd=divgd, ua=ua, va=va,
+                  mfx=c["mfx"], mfy=c["mfy"], cx=c["cx"], cy=c["cy"],
+                  heat_source=c["heat_source"])
         if cfg.d_ext > 0.0:
-            wk_dext = a2b_ord2(delp, grid)  # per-level B-grid delp
+            ab["wk_dext"] = a2b_ord2(delp, grid)  # per-level B-grid delp
+        return ab
 
-        dsw_args = (delp, pt, u, v, w, uc, vc, ua, va, divgd,
-                    mfx, mfy, cx, cy, grid, topo, dt, npx)
+    def stage_b(ab, consts):
+        """d_sw (traj scheme [+ pert scheme mixed])."""
+        from ..timing import scope
+
+        dsw_args = (ab["delp"], ab["pt"], ab["u"], ab["v"], ab["w"],
+                    ab["uc"], ab["vc"], ab["ua"], ab["va"], ab["divgd"],
+                    ab["mfx"], ab["mfy"], ab["cx"], ab["cy"],
+                    grid, topo, dt, npx)
         with scope("d_sw"):
             r = d_sw(
                 *dsw_args,
@@ -452,21 +479,34 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                     kcoef_p, cfg.hydrostatic,
                 )
             r = mix_primal(r, r_p)
-        delp, pt, u, v = r["delp"], r["pt"], r["u"], r["v"]
-        if not cfg.hydrostatic:
-            w = r["w"]
-        divgd = r["divg_d"]
-        divd_b = r["divd_b"]
-        mfx, mfy, cx, cy = r["xflux"], r["yflux"], r["cx"], r["cy"]
-        heat_source = c["heat_source"] + r["heat_source"]
+        bc = dict(
+            delp=r["delp"], pt=r["pt"], u=r["u"], v=r["v"],
+            w=(r["w"] if not cfg.hydrostatic else ab["w"]),
+            divgd=r["divg_d"], divd_b=r["divd_b"],
+            mfx=r["xflux"], mfy=r["yflux"], cx=r["cx"], cy=r["cy"],
+            heat_source=ab["heat_source"] + r["heat_source"],
+            uc=ab["uc"], vc=ab["vc"],
+        )
+        if cfg.d_ext > 0.0:
+            bc["wk_dext"] = ab["wk_dext"]
+        return bc
 
-        delp = halo.fill_halo_center(delp, topo)
-        pt = halo.fill_halo_center(pt, topo)
+    def stage_c(bc, consts):
+        """halo(delp,pt) -> geopk(D) -> one_grad_p [-> Rayleigh_fast]."""
+        from ..timing import scope
+
+        phis = consts["phis"]
+        u, v, w = bc["u"], bc["v"], bc["w"]
+        lead = u.shape[:-2]
+
+        delp = halo.fill_halo_center(bc["delp"], topo)
+        pt = halo.fill_halo_center(bc["pt"], topo)
 
         # external-mode damping vector (dyn_core_nlm.F90:707-728)
         if cfg.d_ext > 0.0:
             d2_ext = cfg.d_ext * grid["da_min_c"]
-            divg2 = _d_ext_divg2(wk_dext, divd_b, d2_ext, grid, npx)
+            divg2 = _d_ext_divg2(bc["wk_dext"], bc["divd_b"], d2_ext, grid,
+                                 npx)
         else:
             divg2 = jnp.zeros(lead[1:] + (jb, jb), dtype)
 
@@ -478,12 +518,27 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                 u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
             )
 
+        if cfg.rayleigh_fast and cfg.tau > 0.0 and pm is not None:
+            rff = _rayleigh_fast_factor(cfg, npz, dtype, abs(dt), ptop, pm)
+            u = u * rff
+            v = v * rff
+            if not cfg.hydrostatic:
+                w = w * rff
+
         return dict(
-            u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc, divgd=divgd,
-            mfx=mfx, mfy=mfy, cx=cx, cy=cy, heat_source=heat_source,
+            u=u, v=v, w=w, delp=delp, pt=pt, uc=bc["uc"], vc=bc["vc"],
+            divgd=bc["divgd"],
+            mfx=bc["mfx"], mfy=bc["mfy"], cx=bc["cx"], cy=bc["cy"],
+            heat_source=bc["heat_source"],
             pe=pe, peln=peln, pk=pkc, pkz=pkz,
         )
 
+    def substep(c, consts):
+        return stage_c(stage_b(stage_a(c, consts), consts), consts)
+
+    # the split adjoint chains per-stage vjps so only one stage's
+    # residuals are ever live (core/staged.py _ad_split)
+    substep.stages = (stage_a, stage_b, stage_c)
     return substep
 
 
@@ -528,7 +583,8 @@ def acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz):
     return state, vert
 
 
-def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
+def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
+             pm=None):
     """One mdt step = n_split acoustic sub-steps (hydrostatic).
 
     state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
@@ -546,7 +602,7 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call):
     phis = state["phis"]
 
     substep = make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop,
-                                    npz, dtype)
+                                    npz, dtype, pm=pm)
     carry = acoustic_carry(state, cfg, npz, dtype)
 
     carry, _ = jax.lax.scan(

@@ -305,8 +305,12 @@ def post_acoustic_stage(state, carry, q, dp1, grid, topo, cfg, ak, bk, ptop,
             mode=mode,
         )
     if last_step and cfg.tau > 0.0:
-        state = rayleigh_super(state, grid, topo, cfg, mdt * cfg.k_split,
-                               ak, bk, ptop)
+        if cfg.grid_type < 4:
+            state = rayleigh_super(state, grid, topo, cfg, mdt * cfg.k_split,
+                                   ak, bk, ptop)
+        else:
+            state = rayleigh_friction(state, grid, topo, cfg,
+                                      mdt * cfg.k_split, ak, bk, ptop)
     return state, q
 
 
@@ -355,6 +359,63 @@ def rayleigh_super(state, grid, topo, cfg, bdt, ak, bk, ptop):
     return dict(state, u=state["u"] * u2f, v=state["v"] * u2f, pt=pt)
 
 
+def rayleigh_friction(state, grid, topo, cfg, bdt, ak, bk, ptop):
+    """Rayleigh_Friction (fv_dynamics_nlm.F90:940-1076, conserve=.true.,
+    hydrostatic): velocity-dependent drag above rf_cutoff with frictional
+    heating.  The reference dispatches here for grid_type >= 4 (doubly
+    periodic); the cube uses Rayleigh_Super."""
+    import numpy as np
+
+    npz = state["delp"].shape[0]
+    npx = cfg.npx
+    pe_ref = np.asarray(ak, np.float64) + np.asarray(bk, np.float64) * 1.0e5
+    pm = ((pe_ref[1:] - pe_ref[:-1])
+          / np.log(np.maximum(pe_ref[1:], 1e-10)
+                   / np.maximum(pe_ref[:-1], 1e-10)))
+    sday = 86400.0
+    u000 = 4900.0
+    rf = np.zeros(npz)
+    kmax = 0
+    for k in range(npz):
+        if pm[k] < cfg.rf_cutoff:
+            rf[k] = (abs(bdt) / (cfg.tau * sday)
+                     * np.sin(0.5 * np.pi * np.log(cfg.rf_cutoff / pm[k])
+                              / np.log(cfg.rf_cutoff / ptop)) ** 2)
+            kmax = k + 1
+        else:
+            break
+    if kmax == 0:
+        return state
+    dtype = state["u"].dtype
+    rfk = jnp.asarray(np.where(np.arange(npz) < kmax, rf, 0.0),
+                      dtype).reshape(npz, 1, 1, 1)
+    active = jnp.asarray((np.arange(npz) < kmax).reshape(npz, 1, 1, 1))
+
+    cs = SL(1, npx - 1)
+    ua, va = c2l_ord4(state["u"], state["v"], grid, topo, npx)
+    u2f_c = ua ** 2 + va ** 2
+    # frictional heating (conserve path; pt is TEMPERATURE here)
+    heat = (0.5 * u2f_c[..., cs, cs]
+            / (CP_AIR - (CP_AIR * KAPPA) * ptop
+               / jnp.asarray(pm, dtype).reshape(npz, 1, 1, 1))
+            * (1.0 - 1.0 / (1.0 + rfk
+                            * jnp.sqrt(u2f_c[..., cs, cs] / u000)) ** 2))
+    pt = state["pt"].at[..., cs, cs].add(jnp.where(active, heat, 0.0))
+
+    # drag: u2f -> rf*sqrt(u2f/u000), halo-updated, staggered averages
+    u2f = rfk * jnp.sqrt(u2f_c / u000)
+    u2f = halo.fill_halo_center(u2f, topo)
+    u_div = 1.0 + 0.5 * (u2f[..., 0:-1, :] + u2f[..., 1:, :])
+    u = state["u"].at[..., 1:-1, :].set(
+        jnp.where(active, state["u"][..., 1:-1, :] / u_div,
+                  state["u"][..., 1:-1, :]))
+    v_div = 1.0 + 0.5 * (u2f[..., :, 0:-1] + u2f[..., :, 1:])
+    v = state["v"].at[..., :, 1:-1].set(
+        jnp.where(active, state["v"][..., :, 1:-1] / v_div,
+                  state["v"][..., :, 1:-1]))
+    return dict(state, u=u, v=v, pt=pt)
+
+
 def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     """One nonlinear model step of bdt seconds (hydrostatic).
 
@@ -372,8 +433,13 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     def remap_step(state, q, last_step):
         """One k_split sub-step: acoustic core + tracer advection + remap."""
         state, dp1 = pre_acoustic_stage(state, grid, topo, cfg)
+        import numpy as np
+        pe_ref = np.asarray(ak, np.float64) + np.asarray(bk, np.float64) * 1e5
+        pm = ((pe_ref[1:] - pe_ref[:-1])
+              / np.log(np.maximum(pe_ref[1:], 1e-10)
+                       / np.maximum(pe_ref[:-1], 1e-10)))
         state, vert = dyn_core(
-            state, q, grid, topo, cfg, mdt, akap, ptop, False,
+            state, q, grid, topo, cfg, mdt, akap, ptop, False, pm=pm,
         )
 
         if len(q) > 0 and not cfg.inline_q:
@@ -394,7 +460,11 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     state, q = remap_step(state, q, True)
 
     if cfg.tau > 0.0:
-        state = rayleigh_super(state, grid, topo, cfg, bdt, ak, bk, ptop)
+        if cfg.grid_type < 4:
+            state = rayleigh_super(state, grid, topo, cfg, bdt, ak, bk, ptop)
+        else:
+            state = rayleigh_friction(state, grid, topo, cfg, bdt, ak, bk,
+                                      ptop)
 
     # NOTE: the reference computes ua/va lat-lon diagnostics here
     # (cubed_to_latlon, fv_dynamics_nlm.F90:738-742); they are inputs to the

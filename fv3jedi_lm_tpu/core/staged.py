@@ -71,10 +71,16 @@ class StagedStepper:
             carry = acoustic_carry(st2, dyn, npz, dtype)
             return st2, dp1, carry
 
+        import numpy as np
+        pe_ref = np.asarray(ak, np.float64) + np.asarray(bk, np.float64) * 1e5
+        pm = ((pe_ref[1:] - pe_ref[:-1])
+              / np.log(np.maximum(pe_ref[1:], 1e-10)
+                       / np.maximum(pe_ref[:-1], 1e-10)))
         self._sub_traj = make_acoustic_substep(
-            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="traj")
+            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="traj", pm=pm)
         self._sub_mix = make_acoustic_substep(
-            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="mixed")
+            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="mixed",
+            pm=pm)
 
         def post(st2, carry, q, dp1, last, mode):
             return post_acoustic_stage(st2, carry, q, dp1, grid, topo, dyn,
@@ -195,10 +201,18 @@ class StagedStepper:
             st2, dp1, _ = s["pre"](st)
 
             def body(_, c):
-                with freeze.recording() as tape:
-                    self._sub_mix(self._expand_carry(c),
-                                  dict(phis=st2["phis"]))
-                return None, list(tape)
+                # per-STAGE tapes so the split adjoint can replay each
+                # stage's decisions in its own vjp program
+                sa, sb, sc = self._sub_mix.stages
+                consts = dict(phis=st2["phis"])
+                cfull = self._expand_carry(c)
+                with freeze.recording() as ta:
+                    ab = sa(cfull, consts)
+                with freeze.recording() as tb:
+                    bc = sb(ab, consts)
+                with freeze.recording() as tc:
+                    sc(bc, consts)
+                return None, (list(ta), list(tb), list(tc))
 
             _, tstack = lax.scan(body, None, cks["carries"][k])
             sub_tapes.append(tstack)
@@ -210,6 +224,17 @@ class StagedStepper:
 
     def record(self, cks):
         return self._get("rec", self._record_fn)(cks)
+
+    def _sub_mix_rep(self, c, consts, tape3):
+        """The mixed substep replayed from per-stage tapes (a, b, c)."""
+        sa, sb, sc = self._sub_mix.stages
+        ta, tb, tc_ = tape3
+        with freeze.replaying(ta):
+            ab = sa(c, consts)
+        with freeze.replaying(tb):
+            bc = sb(ab, consts)
+        with freeze.replaying(tc_):
+            return sc(bc, consts)
 
     # -- tangent linear -------------------------------------------------------
 
@@ -224,11 +249,10 @@ class StagedStepper:
 
             def body(tc, x):
                 c_j, tape_j = x
-                with freeze.replaying(tape_j):
-                    tc = jax.jvp(self._sub_mix,
-                                 (self._expand_carry(c_j),
-                                  dict(phis=st2["phis"])),
-                                 (tc, dict(phis=t_st2["phis"])))[1]
+                tc = jax.jvp(lambda c, cn: self._sub_mix_rep(c, cn, tape_j),
+                             (self._expand_carry(c_j),
+                              dict(phis=st2["phis"])),
+                             (tc, dict(phis=t_st2["phis"])))[1]
                 return tc, None
 
             t_carry, _ = lax.scan(body, t_carry,
@@ -266,15 +290,13 @@ class StagedStepper:
                     st2, cks["carry_fin"][k], q, dp1)
             ct_st2, ct_carry, ct_q, ct_dp1 = vjp_post((ct_st, ct_q))
 
-            sub_ckpt = jax.checkpoint(self._sub_mix)
-
             def body(cc, x):
                 c_j, tape_j = x
                 ct_c, ct_ph = cc
-                with freeze.replaying(tape_j):
-                    _, vjp_sub = jax.vjp(
-                        sub_ckpt, self._expand_carry(c_j),
-                        dict(phis=st2["phis"]))
+                _, vjp_sub = jax.vjp(
+                    jax.checkpoint(
+                        lambda c, cn: self._sub_mix_rep(c, cn, tape_j)),
+                    self._expand_carry(c_j), dict(phis=st2["phis"]))
                 d_c, d_cn = vjp_sub(ct_c)
                 return (d_c, ct_ph + d_cn["phis"]), None
 
@@ -287,4 +309,114 @@ class StagedStepper:
         return ct_prog
 
     def ad(self, prog, phis, pb, cks, tapes):
+        return self._ad_split(prog, phis, pb, cks, tapes)
+
+    def ad_fused(self, prog, phis, pb, cks, tapes):
+        """Single-program adjoint (reverse lax.scan).  Kept for reference;
+        the production `ad` uses the split form — one small jit per stage
+        — which compiles ~5x faster at c96 and avoids a TPU backend fault
+        the fused reverse program triggers at npx >= 97."""
         return self._get("ad", self._ad_fn)(prog, phis, cks, tapes, pb)
+
+    # -- adjoint, split form: host loop over per-stage executables -----------
+
+    def _ad_split(self, prog, phis, pb, cks, tapes):
+        """The reverse sweep as a host-side loop (the reference's POP-per-
+        iteration discipline, fv3jedi_lm_dynamics_mod.F90:588-633): one
+        jitted vjp program per stage kind, reused across iterations."""
+        s = self._stages
+
+        ct_st, ct_q = self._get("adT", lambda pb: s["unpad_T"](pb))(pb)
+
+        def pre_fwd_fn(st):
+            st2, dp1, _ = s["pre"](st)
+            return st2, dp1
+
+        def mk_post_vjp(last):
+            def post_vjp_fn(st2, carry_fin, q, dp1, tape, ct):
+                with freeze.replaying(tape):
+                    _, vjp_post = jax.vjp(
+                        jax.checkpoint(
+                            lambda a, b, c, d: s["post"](a, b, c, d, last,
+                                                         "mixed")),
+                        st2, carry_fin, q, dp1)
+                return vjp_post(ct)
+            return post_vjp_fn
+
+        # The substep adjoint is chained over the substep's three STAGES
+        # (dyn_core make_acoustic_substep .stages), each its own
+        # executable: the TPU backend faults on the fused whole-substep
+        # reverse program at npx >= 97 (every stage's vjp passes alone),
+        # and this also caps live vjp residuals at one stage's worth —
+        # the Tapenade recompute discipline at stage granularity.
+        sa, sb, sc = self._sub_mix.stages
+
+        def slice_cj(carries, tapes_k, j):
+            return (jax.tree.map(lambda x: x[j], carries),
+                    tuple([t[j] for t in ts] for ts in tapes_k))
+
+        def a_fwd_fn(carries, tapes_k, j, phis_p):
+            c_j, t3 = slice_cj(carries, tapes_k, j)
+            with freeze.replaying(t3[0]):
+                return sa(self._expand_carry(c_j), dict(phis=phis_p)), t3
+        def b_fwd_fn(ab, tb, phis_p):
+            with freeze.replaying(tb):
+                return sb(ab, dict(phis=phis_p))
+        def c_vjp_fn(bc, tc_, phis_p, ct):
+            with freeze.replaying(tc_):
+                _, vjp = jax.vjp(sc, bc, dict(phis=phis_p))
+            d_bc, d_cn = vjp(ct)
+            return d_bc, d_cn["phis"]
+        def b_vjp_fn(ab, tb, phis_p, ct):
+            with freeze.replaying(tb):
+                _, vjp = jax.vjp(sb, ab, dict(phis=phis_p))
+            d_ab, d_cn = vjp(ct)
+            return d_ab, d_cn["phis"]
+        def a_vjp_fn(carries, tapes_k, j, phis_p, ct):
+            c_j, t3 = slice_cj(carries, tapes_k, j)
+            cfull = self._expand_carry(c_j)
+            with freeze.replaying(t3[0]):
+                _, vjp = jax.vjp(sa, cfull, dict(phis=phis_p))
+            d_c, d_cn = vjp(ct)
+            return d_c, d_cn["phis"]
+
+        def sub_vjp_fn(carries, tapes_k, j, phis_p, ct_c):
+            ab, t3 = self._get("ad_afwd", a_fwd_fn)(carries, tapes_k, j,
+                                                    phis_p)
+            bc = self._get("ad_bfwd", b_fwd_fn)(ab, t3[1], phis_p)
+            ct_bc, ph_c = self._get("ad_cvjp", c_vjp_fn)(bc, t3[2], phis_p,
+                                                         ct_c)
+            ct_ab, ph_b = self._get("ad_bvjp", b_vjp_fn)(ab, t3[1], phis_p,
+                                                         ct_bc)
+            d_c, ph_a = self._get("ad_avjp", a_vjp_fn)(carries, tapes_k, j,
+                                                       phis_p, ct_ab)
+            return d_c, ph_a + ph_b + ph_c
+
+        def pre_vjp_fn(st, ct):
+            return jax.vjp(lambda x: s["pre"](x), st)[1](ct)[0]
+
+        def prep_vjp_fn(prog, phis, ct):
+            return jax.vjp(s["prep"], prog, phis)[1](ct)[0]
+
+        for k in reversed(range(self.k_split)):
+            st, q = cks["pre_in"][k]
+            last = k == self.k_split - 1
+            st2, dp1 = self._get("adprefwd", pre_fwd_fn)(st)
+            ct_st2, ct_carry, ct_q, ct_dp1 = self._get(
+                ("adpost", last), mk_post_vjp(last))(
+                st2, cks["carry_fin"][k], q, dp1,
+                tapes["post"][k], (ct_st, ct_q))
+            phis_p = st2["phis"]
+            del st2, dp1        # free the recomputed full state's buffers
+            ct_ph = None
+            for j in reversed(range(self.n_split)):
+                # host-level orchestration — each of the five per-stage
+                # executables inside runs as its OWN program
+                ct_carry, d_ph = sub_vjp_fn(
+                    cks["carries"][k], tapes["sub"][k],
+                    jnp.asarray(j, jnp.int32), phis_p, ct_carry)
+                ct_ph = d_ph if ct_ph is None else ct_ph + d_ph
+            ct_st2 = dict(ct_st2, phis=ct_st2["phis"] + ct_ph)
+            ct_st = self._get("adpre", pre_vjp_fn)(
+                st, (ct_st2, ct_dp1, ct_carry))
+        return self._get("adprep", prep_vjp_fn)(prog, phis, (ct_st, ct_q))

@@ -69,3 +69,62 @@ def test_rayleigh_dot_product():
     rhs = float(sum(jnp.vdot(dx[k], mtdy[k]) for k in PROG_3D))
     rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
     assert rel < 1e-12, (lhs, rhs, rel)
+
+
+def test_rayleigh_friction_variant():
+    """Rayleigh_Friction (fv_dynamics_nlm.F90:940-1076, the grid_type>=4
+    dispatch): velocity-dependent drag + frictional heating on the sponge
+    levels, and the TL/AD dot product holds through it."""
+    cfg = LMConfig(
+        dyn=DynConfig(npx=9, npy=9, npz=8, n_split=1, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=2,
+                      tau=5.0, rf_cutoff=50.0e2, grid_type=4),
+        dt=450.0,
+    )
+    lm = LinearModel.create(cfg)
+    tr = _traj(lm, 7)
+    out = lm.step_nl(tr)
+    for k in PROG_3D:
+        assert bool(jnp.isfinite(out[k]).all()), k
+    # drag reduced top-level KE vs the undamped variant
+    lm0 = LinearModel.create(
+        LMConfig(dyn=cfg.dyn.replace(tau=0.0), dt=450.0))
+    out0 = lm0.step_nl(tr)
+    ke1 = float(jnp.sum(out["u"][0] ** 2) + jnp.sum(out["v"][0] ** 2))
+    ke0 = float(jnp.sum(out0["u"][0] ** 2) + jnp.sum(out0["v"][0] ** 2))
+    assert ke1 < ke0
+    rng = np.random.default_rng(13)
+    scale = dict(u=1.0, v=1.0, t=1.0, delp=10.0, qv=1e-4, ql=1e-6,
+                 qi=1e-6, o3=1e-7)
+    dx = {k: jnp.asarray(rng.standard_normal(v.shape)) * scale[k]
+          for k, v in lm.zero_pert().items()}
+    dy = {k: jnp.asarray(rng.standard_normal(v.shape)) * scale[k]
+          for k, v in lm.zero_pert().items()}
+    mdx = lm.step_tl(tr, dx)
+    mtdy = lm.step_ad(tr, dy)
+    lhs = float(sum(jnp.vdot(mdx[k], dy[k]) for k in PROG_3D))
+    rhs = float(sum(jnp.vdot(dx[k], mtdy[k]) for k in PROG_3D))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-300) < 1e-12, (lhs, rhs)
+
+
+def test_rayleigh_fast_inline():
+    """Rayleigh_fast (dyn_core_nlm.F90:2219-2287, HIWPP inline drag):
+    per-acoustic-substep multiplicative damping of the sponge winds."""
+    cfg = LMConfig(
+        dyn=DynConfig(npx=9, npy=9, npz=8, n_split=2, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=2,
+                      tau=5.0, rf_cutoff=50.0e2, rayleigh_fast=True),
+        dt=450.0,
+    )
+    lm = LinearModel.create(cfg)
+    lm_ref = LinearModel.create(
+        LMConfig(dyn=cfg.dyn.replace(rayleigh_fast=False), dt=450.0))
+    tr = _traj(lm, 9)
+    out = lm.step_nl(tr)
+    out_ref = lm_ref.step_nl(tr)
+    for k in PROG_3D:
+        assert bool(jnp.isfinite(out[k]).all()), k
+    # the inline drag damps the top-level winds beyond Rayleigh_Super alone
+    ke1 = float(jnp.sum(out["u"][0] ** 2) + jnp.sum(out["v"][0] ** 2))
+    ke0 = float(jnp.sum(out_ref["u"][0] ** 2) + jnp.sum(out_ref["v"][0] ** 2))
+    assert ke1 < ke0
