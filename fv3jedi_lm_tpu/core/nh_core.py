@@ -1,0 +1,250 @@
+"""Nonhydrostatic vertical solvers (first slice of the NH core).
+
+TPU-native re-derivation of model/nh_utils_nlm.F90:
+
+* `sim1_solver` (:1177-1310) — the semi-implicit vertically-propagating
+  sound-wave solver: two Thomas (tridiagonal) sweeps for the
+  nonhydrostatic pressure perturbation and the implicit w update,
+  followed by the hypsometric dz update.  Columns are batched on the
+  trailing axis; the k-recurrences are `lax.scan`s (the per-column
+  sequential structure the reference vectorizes over i).
+* `riem_solver_c` (:297-404) — the C-grid wrapper: builds the
+  hydrostatic component pem / layer-mean pm2 and dz from gz, calls SIM1
+  (a_imp > 0.5, the production default), and returns the full edge
+  pressure pef and the updated geopotential gz.
+* `update_dz_c` (:43-181) — advances the C-grid geopotential by upwind
+  finite-volume advection with the interface-interpolated (ut, vt)
+  winds, plus the dz_min monotonicity enforcement and the surface
+  vertical velocity ws.
+
+The D-grid pieces (update_dz_d :183-295, Riem_Solver3 with edge_profile
+:1519) follow the same patterns and are the next NH increment; dyn_core
+dispatch (dyn_core_nlm.F90:466-791) is wired once both exist.
+
+All discrete decisions route through the frozen-branch tape (core/freeze)
+so the staged TL/ADM discipline extends to the NH path unchanged.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import NG
+from ..constants import GRAV, RGAS
+from ..core.freeze import fbool, fmax, fscan
+from ..parallel import halo
+
+DZ_MIN = 2.0  # minimum layer thickness (m), nh_utils_nlm.F90:41
+R3 = 1.0 / 3.0
+
+
+def sim1_solver(dt, dm2, pt2, pm2, pem, w2, dz2, ws, kappa, p_fac=0.05):
+    """SIM1_solver (nh_utils_nlm.F90:1177-1310), non-MOIST_CAPPA branch.
+
+    Shapes: dm2/pt2/pm2/w2/dz2 (km, B); pem (km+1, B); ws (B,).
+    Returns (pe, w2_new, dz2_new) with pe (km+1, B) the nonhydrostatic
+    pressure perturbation at edges.
+    """
+    km = dm2.shape[0]
+    gama = 1.0 / (1.0 - kappa)
+    t1g = gama * 2.0 * dt * dt
+    rdt = 1.0 / dt
+    capa1 = kappa - 1.0
+
+    w1 = w2
+    pe_l = jnp.exp(gama * jnp.log(-dm2 / dz2 * RGAS * pt2)) - pm2
+
+    g_rat = dm2[:-1] / dm2[1:]                        # (km-1, B)
+    bb = jnp.concatenate([2.0 * (1.0 + g_rat),
+                          2.0 * jnp.ones_like(dm2[:1])], axis=0)
+    dd = jnp.concatenate([3.0 * (pe_l[:-1] + g_rat * pe_l[1:]),
+                          3.0 * pe_l[-1:]], axis=0)
+
+    # --- Thomas sweep for pp (the pressure-perturbation interpolant) ---
+    def fwd_pp(carry, x):
+        bet, pp_k = carry
+        bbk, ddk, gr_km1 = x
+        gam_k = gr_km1 / bet
+        bet_new = bbk - gam_k
+        pp_k1 = (ddk - pp_k) / bet_new
+        return (bet_new, pp_k1), (pp_k1, gam_k)
+
+    bet0 = bb[0]
+    pp1 = jnp.zeros_like(bet0)
+    pp2 = dd[0] / bet0
+    (_, _), (pp_rest, gam) = lax.scan(
+        fwd_pp, (bet0, pp2), (bb[1:], dd[1:], g_rat))
+    # pp edges: [0, dd0/bet0, scan outputs...] -> (km+1, B)
+    pp = jnp.concatenate([pp1[None], pp2[None], pp_rest], axis=0)
+
+    def bwd_pp(pp_kp1, x):
+        pp_k, gam_k = x
+        out = pp_k - gam_k * pp_kp1
+        return out, out
+
+    _, pp_bwd = lax.scan(bwd_pp, pp[-1], (pp[1:-1], gam), reverse=True)
+    pp = jnp.concatenate([pp1[None], pp_bwd, pp[-1:]], axis=0)
+
+    # --- implicit w solver ---
+    aa = t1g / (dz2[:-1] + dz2[1:]) * (pem[1:-1] + pp[1:-1])  # (km-1,B), k=2..km
+
+    bet0 = dm2[0] - aa[0]
+    w_1 = (dm2[0] * w1[0] + dt * pp[1]) / bet0
+
+    def fwd_w(carry, x):
+        bet, w_km1 = carry
+        dmk, w1k, aak, aak1, dppk = x
+        gam_k = aak / bet
+        bet_new = dmk - (aak + aak1 + aak * gam_k)
+        w_k = (dmk * w1k + dppk - aak * w_km1) / bet_new
+        return (bet_new, w_k), (w_k, gam_k)
+
+    dpp_mid = dt * (pp[2:km] - pp[1:km - 1])          # k=2..km-1
+    (bet_f, w_last_mid), (w_mid, gam_w) = lax.scan(
+        fwd_w, (bet0, w_1),
+        (dm2[1:km - 1], w1[1:km - 1], aa[:km - 2], aa[1:km - 1], dpp_mid))
+
+    p1 = t1g / dz2[-1] * (pem[-1] + pp[-1])
+    gam_km = aa[-1] / bet_f
+    bet_km = dm2[-1] - (aa[-1] + p1 + aa[-1] * gam_km)
+    w_km = (dm2[-1] * w1[-1] + dt * (pp[km] - pp[km - 1]) - p1 * ws
+            - aa[-1] * w_last_mid) / bet_km
+
+    w_f = jnp.concatenate([w_1[None], w_mid, w_km[None]], axis=0)
+    gam_full = jnp.concatenate([gam_w, gam_km[None]], axis=0)  # k=2..km
+
+    def bwd_w(w_kp1, x):
+        w_k, gam_kp1 = x
+        out = w_k - gam_kp1 * w_kp1
+        return out, out
+
+    _, w_bwd = lax.scan(bwd_w, w_f[-1], (w_f[:-1], gam_full), reverse=True)
+    w_new = jnp.concatenate([w_bwd, w_f[-1:]], axis=0)
+
+    # --- pressure perturbation at edges from the w change ---
+    pe = jnp.concatenate(
+        [jnp.zeros_like(pem[:1]),
+         jnp.cumsum(dm2 * (w_new - w1) * rdt, axis=0)], axis=0)
+
+    # --- hypsometric dz update (bottom-up recurrence) ---
+    def dz_of(p1v, pm_k, dm_k, pt_k):
+        arg = fmax(p_fac * pm_k, p1v + pm_k)
+        return -dm_k * RGAS * pt_k * jnp.exp(capa1 * jnp.log(arg))
+
+    p1_km = (pe[km - 1] + 2.0 * pe[km]) * R3
+    dz_km = dz_of(p1_km, pm2[-1], dm2[-1], pt2[-1])
+
+    def up_dz(p1v, x):
+        pe_k, pe_k1, pe_k2, bb_k, gr_k, pm_k, dm_k, pt_k = x
+        p1n = (pe_k + bb_k * pe_k1 + gr_k * pe_k2) * R3 - gr_k * p1v
+        return p1n, dz_of(p1n, pm_k, dm_k, pt_k)
+
+    _, dz_rest = fscan(
+        up_dz, p1_km,
+        (pe[:km - 1], pe[1:km], pe[2:km + 1], bb[:km - 1], g_rat,
+         pm2[:-1], dm2[:-1], pt2[:-1]), reverse=True)
+    dz_new = jnp.concatenate([dz_rest, dz_km[None]], axis=0)
+    return pe, w_new, dz_new
+
+
+def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
+    """Riem_Solver_c (nh_utils_nlm.F90:297-404): C-grid semi-implicit
+    solve.  All fields padded (npz[, +1], 6, jy, jx); pt is the C-grid
+    virtual potential temperature analogue used by the solver (the caller
+    passes what the reference passes).  Unit convention mirrors the
+    reference: INPUT gz is height in meters (from update_dz_c), OUTPUT
+    gz is height*grav anchored at hs (:362, :396-402).  Returns
+    (pef, gz_new, w_new)."""
+    km = delp.shape[0]
+    shp = delp.shape[1:]
+    dm = delp.reshape(km, -1)
+    pt2 = pt.reshape(km, -1)
+    w2 = w3.reshape(km, -1)
+    gz2 = gz.reshape(km + 1, -1)
+    hs2 = hs.reshape(-1)
+    ws2 = ws.reshape(-1)
+
+    pem = jnp.concatenate(
+        [jnp.full_like(dm[:1], ptop),
+         ptop + jnp.cumsum(dm, axis=0)], axis=0)
+    dz2 = gz2[1:] - gz2[:-1]
+    pm2 = dm / jnp.log(pem[1:] / pem[:-1])
+    dmg = dm / GRAV
+
+    pe, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
+                                    akap, p_fac)
+
+    pef = pe + pem                     # full edge pressure; pe[0] = 0 -> ptop
+    # Height*grav rebuilt from the new dz (bottom-up)
+    gz_new = jnp.concatenate(
+        [hs2[None] - jnp.cumsum((dz_new * GRAV)[::-1], axis=0)[::-1],
+         hs2[None]], axis=0)
+    return (pef.reshape((km + 1,) + shp),
+            gz_new.reshape((km + 1,) + shp),
+            w_new.reshape((km,) + shp))
+
+
+def update_dz_c(dt, dp0, zs, ut, vt, gz, grid, topo, npx):
+    """update_dz_c (nh_utils_nlm.F90:43-181): advance the C-grid
+    geopotential with upwind advection by the interface-interpolated
+    (ut, vt) transport winds; returns (gz_new, ws).
+
+    ut: (km, 6, jc, jb) C-wind * metric (the c_sw transport winds);
+    vt: (km, 6, jb, jc); gz: (km+1, 6, jc, jc); dp0 (km,) reference
+    thickness; zs (6, jc, jc) surface geopotential.
+    """
+    from ..ops.sw_core import fill_4corners
+
+    km = ut.shape[0]
+    rdt = 1.0 / dt
+    area = grid["area"]
+
+    top_ratio = dp0[0] / (dp0[0] + dp0[1])
+    bot_ratio = dp0[km - 1] / (dp0[km - 2] + dp0[km - 1])
+    int_ratio = (1.0 / (dp0[:-1] + dp0[1:])).reshape(km - 1, 1, 1, 1)
+    d_hi = dp0[1:].reshape(km - 1, 1, 1, 1)
+    d_lo = dp0[:-1].reshape(km - 1, 1, 1, 1)
+
+    # interface-interpolated transport winds (km+1 interfaces)
+    xfx = jnp.concatenate([
+        (ut[0] + (ut[0] - ut[1]) * top_ratio)[None],
+        (d_hi * ut[:-1] + d_lo * ut[1:]) * int_ratio,
+        (ut[-1] + (ut[-1] - ut[-2]) * bot_ratio)[None],
+    ], axis=0)
+    yfx = jnp.concatenate([
+        (vt[0] + (vt[0] - vt[1]) * top_ratio)[None],
+        (d_hi * vt[:-1] + d_lo * vt[1:]) * int_ratio,
+        (vt[-1] + (vt[-1] - vt[-2]) * bot_ratio)[None],
+    ], axis=0)
+
+    jc = gz.shape[-1]
+    gx = fill_4corners(gz, 1, npx)
+    selx = fbool(xfx[..., :, 1:jc] > 0.0)
+    fx = xfx[..., :, 1:jc] * jnp.where(selx, gx[..., :, 0:jc - 1],
+                                       gx[..., :, 1:jc])
+    gy = fill_4corners(gz, 2, npx)
+    sely = fbool(yfx[..., 1:jc, :] > 0.0)
+    fy = yfx[..., 1:jc, :] * jnp.where(sely, gy[..., 0:jc - 1, :],
+                                       gy[..., 1:jc, :])
+
+    inner = slice(1, jc - 1)
+    gz_new = gz
+    num = (gz[..., inner, inner] * area[..., inner, inner]
+           + (fx[..., inner, :-1] - fx[..., inner, 1:])
+           + (fy[..., :-1, inner] - fy[..., 1:, inner]))
+    den = (area[..., inner, inner]
+           + (xfx[..., inner, 1:jc - 1] - xfx[..., inner, 2:jc])
+           + (yfx[..., 1:jc - 1, inner] - yfx[..., 2:jc, inner]))
+    gz_new = gz.at[..., inner, inner].set(num / den)
+
+    ws = (zs - gz_new[-1]) * rdt
+
+    # monotonicity: gz(k) >= gz(k+1) + dz_min, swept bottom-up
+    def mono(gz_kp1, gz_k):
+        out = fmax(gz_k, gz_kp1 + DZ_MIN)
+        return out, out
+
+    _, gz_up = fscan(mono, gz_new[-1], gz_new[:-1], reverse=True)
+    gz_new = jnp.concatenate([gz_up, gz_new[-1:]], axis=0)
+    return gz_new, ws
