@@ -185,6 +185,170 @@ def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
             w_new.reshape((km,) + shp))
 
 
+def riem_solver3(dt, akap, ptop, zs, ws, delz_unused, pt, delp, zh, w,
+                 p_fac=0.05, fp_out=True):
+    """Riem_Solver3 (nh_core re-export of Riem_Solver3test,
+    nh_utils_nlm.F90:406-573), a_imp > 0.999 (the SIM1 production
+    branch), USE_COND off.
+
+    Inputs padded (npz[, +1], 6, jy, jx); zh is HEIGHT in meters; pt the
+    solver's (virtual potential) temperature variable.  Returns a dict
+    with w, delz, zh, pe (hydrostatic edge), peln, pk3, ppe (full
+    pressure when fp_out else the NH perturbation)."""
+    km = delp.shape[0]
+    shp = delp.shape[1:]
+    dm_p = delp.reshape(km, -1)
+    pt2 = pt.reshape(km, -1)
+    w2 = w.reshape(km, -1)
+    zh2 = zh.reshape(km + 1, -1)
+    zs2 = zs.reshape(-1)
+    ws2 = ws.reshape(-1)
+
+    peln1 = jnp.log(ptop)
+    pem = jnp.concatenate(
+        [jnp.full_like(dm_p[:1], ptop),
+         ptop + jnp.cumsum(dm_p, axis=0)], axis=0)
+    peln2 = jnp.log(pem)
+    pk3 = jnp.exp(akap * peln2)
+    pm2 = dm_p / (peln2[1:] - peln2[:-1])
+    dmg = dm_p / GRAV
+    dz2 = zh2[1:] - zh2[:-1]
+
+    pe2, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
+                                     akap, p_fac)
+
+    ppe = pe2 + pem if fp_out else pe2
+    zh_new = jnp.concatenate(
+        [zs2[None] - jnp.cumsum(dz_new[::-1], axis=0)[::-1], zs2[None]],
+        axis=0)
+    rs = lambda x, k: x.reshape((k,) + shp)
+    return dict(w=rs(w_new, km), delz=rs(dz_new, km),
+                zh=rs(zh_new, km + 1), pe=rs(pem, km + 1),
+                peln=rs(peln2, km + 1), pk3=rs(pk3, km + 1),
+                ppe=rs(ppe, km + 1))
+
+
+def edge_profile(q, dp0, limiter=0):
+    """edge_profile (nh_utils_nlm.F90:1519-1614, non-uniform branch):
+    tridiagonal edge-value reconstruction of a layer-mean wind profile.
+
+    q: (km, ...) layer means; dp0: (km,) static reference thickness.
+    The tridiagonal coefficients depend only on dp0 and are precomputed
+    host-side; the solve is two linear k-recurrences.  Returns (km+1, ...)
+    edge values."""
+    import numpy as np
+
+    km = q.shape[0]
+    dp0 = np.asarray(dp0, np.float64)
+    g0 = dp0[1] / dp0[0]
+    xt1_top = 2.0 * g0 * (g0 + 1.0)
+    bet_top = g0 * (g0 + 0.5)
+    gam = np.zeros(km + 1)
+    bet = np.zeros(km + 1)
+    gam[0] = (1.0 + g0 * (g0 + 1.5)) / bet_top
+    bet[0] = bet_top
+    gks = np.zeros(km + 1)
+    for k in range(1, km):                      # Fortran k=2..km
+        gk = dp0[k - 1] / dp0[k]
+        gks[k] = gk
+        bet[k] = 2.0 + 2.0 * gk - gam[k - 1]
+        gam[k] = gk / bet[k]
+    gk = gks[km - 1]
+    a_bot = 1.0 + gk * (gk + 1.5)
+    xt1_bot = 2.0 * gk * (gk + 1.0)
+    xt2_bot = gk * (gk + 0.5) - a_bot * gam[km - 1]
+
+    qe0 = (xt1_top * q[0] + q[1]) / bet_top
+
+    def fwd(qe_km1, x):
+        qk_1, qk, gk_k, bet_k = x
+        qe_k = (3.0 * (qk_1 + gk_k * qk) - qe_km1) / bet_k
+        return qe_k, qe_k
+
+    ks = jnp.asarray(gks[1:km], q.dtype)
+    bs_ = jnp.asarray(bet[1:km], q.dtype)
+    kb = (ks.reshape((km - 1,) + (1,) * (q.ndim - 1)),
+          bs_.reshape((km - 1,) + (1,) * (q.ndim - 1)))
+    _, qe_mid = lax.scan(fwd, qe0, (q[:-1], q[1:], kb[0], kb[1]))
+    qe_bot = (xt1_bot * q[-1] + q[-2] - a_bot * qe_mid[-1]) / xt2_bot
+
+    qe = jnp.concatenate([qe0[None], qe_mid, qe_bot[None]], axis=0)
+    gamj = jnp.asarray(gam[:km], q.dtype).reshape(
+        (km,) + (1,) * (q.ndim - 1))
+
+    def bwd(qe_kp1, x):
+        qe_k, g = x
+        out = qe_k - g * qe_kp1
+        return out, out
+
+    _, qe_up = lax.scan(bwd, qe[-1], (qe[:-1], gamj), reverse=True)
+    qe = jnp.concatenate([qe_up, qe[-1:]], axis=0)
+
+    if limiter != 0:   # zero top/bottom edges that flip sign vs the layer
+        top_bad = fbool(q[0] * qe[0] < 0.0)
+        bot_bad = fbool(q[-1] * qe[-1] < 0.0)
+        qe = qe.at[0].set(jnp.where(top_bad, 0.0, qe[0]))
+        qe = qe.at[-1].set(jnp.where(bot_bad, 0.0, qe[-1]))
+    return qe
+
+
+def update_dz_d(dt, dp0, zs, zh, crx, cry, xfx, yfx, hord, grid, topo, npx,
+                damp=None, ndif=0):
+    """update_dz_d (nh_utils_nlm.F90:183-295): advance the D-grid height
+    field with the full fv_tp_2d transport of each interface, using
+    edge-profile-reconstructed courant numbers/area fluxes, optional del-n
+    damping, monotonicity floor and surface vertical velocity.
+
+    crx/xfx: (km, 6, jy, n+1) layer courant/area flux at D x-edges (as
+    produced by d_sw); cry/yfx mirrored; zh (km+1, 6, jc, jc) heights in
+    meters.  damp: None or (km+1, 1, 1, 1) del-n damping coefficient with
+    static order ndif.  Returns (zh_new, ws)."""
+    from ..ops.sw_core import del6_vt_flux
+    from ..ops.transport import fv_tp_2d
+
+    km = crx.shape[0]
+    rdt = 1.0 / dt
+    area = grid["area"]
+    jc = zh.shape[-1]
+
+    crx_adv = edge_profile(crx, dp0)
+    xfx_adv = edge_profile(xfx, dp0)
+    cry_adv = edge_profile(cry, dp0)
+    yfx_adv = edge_profile(yfx, dp0)
+
+    cs = SL_ = slice(NG, jc - NG)
+    ra_x = area[..., :, cs] + (xfx_adv[..., :, :-1] - xfx_adv[..., :, 1:])
+    ra_y = area[..., cs, :] + (yfx_adv[..., :-1, :] - yfx_adv[..., 1:, :])
+
+    fx, fy = fv_tp_2d(zh, crx_adv, cry_adv, hord, xfx_adv, yfx_adv, grid,
+                      topo, ra_x, ra_y)
+    num = (zh[..., cs, cs] * area[..., cs, cs]
+           + (fx[..., :, :-1] - fx[..., :, 1:])
+           + (fy[..., :-1, :] - fy[..., 1:, :]))
+    den = (ra_x[..., cs, :] + ra_y[..., :, cs] - area[..., cs, cs])
+    zh_c = num / den
+    if damp is not None and ndif > 0:
+        _, fx2, fy2 = del6_vt_flux(ndif, damp, zh, grid, topo)
+        rarea = grid["rarea"]
+        zh_c = zh_c + (
+            (fx2[..., cs, slice(NG, jc - NG + 1)][..., :, :-1]
+             - fx2[..., cs, slice(NG, jc - NG + 1)][..., :, 1:])
+            + (fy2[..., slice(NG, jc - NG + 1), cs][..., :-1, :]
+               - fy2[..., slice(NG, jc - NG + 1), cs][..., 1:, :])
+        ) * rarea[..., cs, cs]
+    zh_new = zh.at[..., cs, cs].set(zh_c)
+
+    ws = (zs - zh_new[-1]) * rdt
+
+    def mono(zh_kp1, zh_k):
+        out = fmax(zh_k, zh_kp1 + DZ_MIN)
+        return out, out
+
+    _, zh_up = fscan(mono, zh_new[-1], zh_new[:-1], reverse=True)
+    zh_new = jnp.concatenate([zh_up, zh_new[-1:]], axis=0)
+    return zh_new, ws
+
+
 def update_dz_c(dt, dp0, zs, ut, vt, gz, grid, topo, npx):
     """update_dz_c (nh_utils_nlm.F90:43-181): advance the C-grid
     geopotential with upwind advection by the interface-interpolated

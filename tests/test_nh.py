@@ -161,3 +161,70 @@ def test_update_dz_c_constant_gz_and_floor():
     d = np.asarray(gz_new[:-1] - gz_new[1:])
     assert d.min() >= DZ_MIN - 1e-9
     assert bool(np.isfinite(np.asarray(ws)).all())
+
+
+def test_edge_profile_constant():
+    from fv3jedi_lm_tpu.core.nh_core import edge_profile
+    km, b = 12, 5
+    dp0 = np.linspace(500.0, 1800.0, km)
+    q = jnp.full((km, b), 3.75)
+    qe = edge_profile(q, dp0)
+    np.testing.assert_allclose(np.asarray(qe), 3.75, rtol=1e-12)
+
+
+def test_riem_solver3_hydrostatic_fixed_point():
+    from fv3jedi_lm_tpu.core.nh_core import riem_solver3
+    km, n = 12, 8
+    jc = n + 6
+    rng = np.random.default_rng(9)
+    ptop = 100.0
+    delp = jnp.asarray((1.0e5 - ptop) / km * (
+        1.0 + 0.02 * rng.random((km, 6, jc, jc))))
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros((1, 6, jc, jc)), jnp.cumsum(delp, 0)], 0)
+    pm = delp / jnp.log(pe[1:] / pe[:-1])
+    t = jnp.asarray(250.0 + 30.0 * rng.random((km, 6, jc, jc)))
+    dmg = delp / GRAV
+    dz = -dmg * RGAS * t * pm ** (KAPPA - 1.0)
+    zs = jnp.zeros((6, jc, jc))
+    zh = jnp.concatenate(
+        [zs[None] - jnp.cumsum(dz[::-1], 0)[::-1], zs[None]], 0)
+    w = jnp.zeros_like(delp)
+    ws = jnp.zeros((6, jc, jc))
+    out = riem_solver3(60.0, KAPPA, ptop, zs, ws, None, t, delp, zh, w)
+    assert float(jnp.abs(out["w"]).max()) < 1e-8
+    np.testing.assert_allclose(np.asarray(out["zh"]), np.asarray(zh),
+                               rtol=1e-8, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["ppe"]), np.asarray(pe),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["pk3"]),
+                               np.asarray(pe) ** KAPPA, rtol=1e-10)
+
+
+def test_update_dz_d_constant_zh():
+    from fv3jedi_lm_tpu.core.nh_core import update_dz_d
+    from fv3jedi_lm_tpu.lm import LinearModel
+    from fv3jedi_lm_tpu.config import DynConfig, LMConfig
+
+    cfg = LMConfig(dyn=DynConfig(npx=9, npy=9, npz=8, n_split=1,
+                                 k_split=1), dt=300.0)
+    lm = LinearModel.create(cfg)
+    km, n = 8, 8
+    jc = n + 6
+    rng = np.random.default_rng(10)
+    crx = jnp.asarray(0.2 * rng.standard_normal((km, 6, jc, n + 1)))
+    cry = jnp.asarray(0.2 * rng.standard_normal((km, 6, n + 1, jc)))
+    xfx = jnp.asarray(1e7 * rng.standard_normal((km, 6, jc, n + 1)))
+    yfx = jnp.asarray(1e7 * rng.standard_normal((km, 6, n + 1, jc)))
+    dp0 = np.linspace(800.0, 1500.0, km)
+    levels = np.linspace(3.0e4, 0.0, km + 1)
+    zh = jnp.asarray(np.broadcast_to(
+        levels[:, None, None, None], (km + 1, 6, jc, jc)).copy())
+    zs = jnp.zeros((6, jc, jc))
+    zh_new, ws = update_dz_d(300.0, dp0, zs, zh, crx, cry, xfx, yfx, 1,
+                             lm.grid, lm.topo, 9)
+    cs = slice(3, jc - 3)
+    got = np.asarray(zh_new[:, :, cs, cs])
+    want = np.broadcast_to(levels[:, None, None, None], got.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-6)
+    assert bool(np.isfinite(np.asarray(ws)).all())
