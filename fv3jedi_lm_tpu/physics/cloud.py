@@ -25,13 +25,15 @@ ice settling is column-local per level, so they run whole-array over
 (cloud.F90:2213-2457) couples levels — through the falling-precipitation
 and downdraft carries — and runs as a frozen-branch scan over levels.
 
-Mode note: do_moist_physics==2 additionally gates the pdffrac perturbation
-model per column by an 8x8 ls_cloud Jacobian eigenvalue filter
-(cloud_tl.F90:406-481, LAPACK DGEEV).  Here the perturbation model
-(cloud_pertmod=1) is used unconditionally for both modes — it is exactly
-the fallback the mode-2 filter selects whenever its thresholds trip, i.e.
-the conservative choice; mode 1 (the 4D-Var production configuration) is
-reproduced exactly.
+Mode note: do_moist_physics==2 gates the pdffrac perturbation model per
+(level, column) by the 8x8 ls_cloud Jacobian filter (cloud_tl.F90:
+406-481): 8 unit-tangent jvp probes build the Jacobian, the value
+thresholds are applied exactly, and the LAPACK max|eigenvalue| test is
+bounded by the largest singular value (power iteration on J^T J) — an
+upper bound on the spectral radius, so the approximation only ever errs
+toward the safer perturbation model.  Mode 1 (the 4D-Var production
+configuration) uses the perturbation model unconditionally, exactly as
+the reference.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import (MAPL_ALHF, MAPL_ALHL, MAPL_ALHS, MAPL_CP,
                          MAPL_EPSILON, MAPL_GRAV, MAPL_PI, MAPL_RGAS,
@@ -234,18 +237,25 @@ def _pdffrac_tophat(qt, sigmaqt1, qstar):
 def pdffrac_pert(qt, sigmaqt1, qstar, pert_mode):
     """Cloud-fraction from the total-water PDF.
 
-    pert_mode: primal = top-hat; tangent = the reference's regularized
-    linear-ramp perturbation model (PDFFRAC_D flag 4, cloud_tl.F90:
-    1568-1597): d(cf) = 0.2 * d(RH) / ((q2/q1-1)*q1) on q1 <= RH < q2."""
+    pert_mode True: primal = top-hat; tangent = the reference's
+    regularized linear-ramp perturbation model (PDFFRAC_D flag 4,
+    cloud_tl.F90:1568-1597): d(cf) = 0.2*d(RH)/((q2/q1-1)*q1) on
+    q1 <= RH < q2.  pert_mode may also be a per-element bool mask (the
+    do_moist_physics==2 per-column Jacobian gate, cloud_tl.F90:406-481):
+    masked elements use the perturbation model, the rest the exact
+    top-hat derivative (cloud_pertmod=0)."""
     primal = _pdffrac_tophat(qt, sigmaqt1, qstar)
-    if not pert_mode:
+    if pert_mode is False:
         return primal
     q1 = 0.9335
     q2 = 1.0665
     rh = qt / qstar
     in_ramp = fbool((rh >= q1) & (rh < q2))
     ramp = 0.2 * jnp.where(in_ramp, rh / ((q2 / q1 - 1.0) * q1), 0.0)
-    return mix_primal(primal, ramp)
+    mixed = mix_primal(primal, ramp)
+    if pert_mode is True:
+        return mixed
+    return jnp.where(pert_mode, mixed, primal)
 
 
 def pdfcondensate_tophat(qt, sigmaqt1, qstar):
@@ -713,9 +723,61 @@ def cloud_driver(dt, th, q, ple, cnv_dqldt, cnv_mfd, cnv_prc3, cnv_updf,
 
     alpha = pdf_width(ph, frland[None, :], pars)
     rhcrit = 1.0 - alpha
+
+    ls_pert = pert_mode
+    if pert_mode and do_phy_mst == 2:
+        # do_moist_physics==2: gate the pdffrac perturbation model per
+        # (level, column) by the ls_cloud Jacobian (cloud_tl.F90:406-481).
+        # 8 unit-tangent jvp probes give the 8x8 Jacobian; the reference's
+        # LAPACK max|eigenvalue| test is bounded here by the largest
+        # singular value via power iteration on J^T J (sigma_max >=
+        # rho(J), so the approximation only ever errs toward the SAFER
+        # perturbation model).  All probe inputs are stop_gradient'ed and
+        # the gate is a frozen decision.
+        import jax
+
+        sg = lax.stop_gradient
+        s0 = tuple(sg(x) for x in (t2, q2, qils2, qicn2, qlls2, qlcn2,
+                                   cfls2, cfcn2))
+        alpha_sg = sg(alpha)
+
+        def f8(v):
+            t_, q_, qils_, qicn_, qlls_, qlcn_, cfls_, cfcn_ = v
+            te, qv, qcl, qal, qci, qai, cf, af = ls_cloud(
+                dt, alpha_sg, ph, t_, q_, qlls_, qlcn_, qils_, qicn_,
+                cfls_, cfcn_, pars, estblx, False)
+            # reference variable order (t, q, qi_ls, qi_con, ql_ls,
+            # ql_con, cf_ls, cf_con)
+            return (te, qv, qci, qai, qcl, qal, cf, af)
+
+        ones = jnp.ones_like(s0[0])
+        cols = []
+        for c in range(8):
+            tang = tuple((ones if r == c else jnp.zeros_like(ones))
+                         for r in range(8))
+            _, jv = jax.jvp(f8, (s0,), (tang,))
+            cols.append(jnp.stack(jv, 0))
+        jac = jnp.stack(cols, 1)               # (row, col, npz, B)
+
+        m = jnp.einsum("ka...,kb...->ab...", jac, jac)
+        v = jnp.ones((8,) + m.shape[2:], m.dtype)
+        for _ in range(20):
+            mv = jnp.einsum("ab...,b...->a...", m, v)
+            v = mv / jnp.sqrt(jnp.sum(mv * mv, axis=0, keepdims=True)
+                              + 1.0e-300)
+        sigma2 = jnp.sum(v * jnp.einsum("ab...,b...->a...", m, v), axis=0)
+        sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
+
+        bad = ((sigma > 1.001)
+               | (jac[0, 0] < 0.6)
+               | (jac[1, 0] > 0.75e-4)
+               | (jac[4, 0] < -0.75e-4)
+               | (jac[6, 0] < -1.10))
+        ls_pert = fbool(bad)
+
     t2, q2, qlls2, qlcn2, qils2, qicn2, cfls2, cfcn2 = ls_cloud(
         dt, alpha, ph, t2, q2, qlls2, qlcn2, qils2, qicn2, cfls2, cfcn2,
-        pars, estblx, pert_mode)
+        pars, estblx, ls_pert)
 
     # presink snapshots for the SINK tangent filter (cloud.F90:400-408)
     t_ps, q_ps = t2, q2

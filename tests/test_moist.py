@@ -136,3 +136,47 @@ def test_no_convection_cloud_still_active(lm, traj):
     changed = sum(float(jnp.abs(p[k] - p_dyn[k]).max())
                   for k in ("t", "qv", "qi", "ql"))
     assert changed > 0.0
+
+
+def test_mode2_jacobian_gate_dot_product():
+    """do_phy_mst == 2: stricter convection filtering + the per-column
+    ls_cloud Jacobian gate on the pdffrac perturbation model
+    (cloud_tl.F90:406-481); the TL/AD identity must hold through it."""
+    cfg = LMConfig(
+        dyn=DynConfig(npx=9, npy=9, npz=12, n_split=1, k_split=1,
+                      d2_bg_k1=0.2, d2_bg_k2=0.1, n_sponge=2,
+                      n_sponge_pert=3, d2_bg_k1_pert=0.2,
+                      d2_bg_k2_pert=0.1, d2_bg_ks_pert=0.1),
+        dt=450.0, do_phy_mst=2,
+    )
+    pref = np.array([30., 1500., 4000., 8000., 14000., 22000., 32000.,
+                     44000., 57000., 71000., 85000., 93000., 100000.])
+    ptrans = 20000.0
+    bk = np.clip((pref - ptrans) / (1.0e5 - ptrans), 0.0, 1.0)
+    ak = pref - bk * 1.0e5
+    lm2 = LinearModel.create(cfg, ak=ak, bk=bk)
+    tr = lm2.rest_traj(t0=285.0)
+    n = lm2.cfg.dyn.nx
+    npz = lm2.cfg.dyn.npz
+    rng = np.random.default_rng(21)
+    ks = np.arange(npz)[:, None, None, None]
+    tr["t"] = jnp.asarray(225.0 + 75.0 * (ks / (npz - 1.0)) ** 1.2
+                          + 1.5 * rng.standard_normal((npz, 6, n, n)))
+    qv = 0.018 * np.exp(-3.0 * (1.0 - ks / (npz - 1.0)))
+    tr["qv"] = jnp.clip(jnp.asarray(
+        qv * (1.0 + 0.2 * rng.standard_normal((npz, 6, n, n)))), 1e-7, None)
+    tr["ts"] = jnp.asarray(305.0 + rng.standard_normal((6, n, n)))
+    tr["frland"] = jnp.asarray((rng.random((6, n, n)) > 0.5) * 1.0)
+    tr["kcbl"] = jnp.full((6, n, n), float(npz - 1))
+    prof = np.exp(-0.5 * ((ks - 0.7 * npz) / (0.15 * npz)) ** 2)
+    tr["qls"] = jnp.asarray(4e-5 * prof * np.ones((npz, 6, n, n)))
+    tr["qcn"] = jnp.asarray(3e-5 * prof * np.ones((npz, 6, n, n)))
+    tr["cfcn"] = jnp.asarray(0.1 * prof * np.ones((npz, 6, n, n)))
+    dx = _rand_pert(lm2, 22)
+    dy = _rand_pert(lm2, 23)
+    mdx = lm2.step_tl(tr, dx)
+    mtdy = lm2.step_ad(tr, dy)
+    lhs = float(_dot(mdx, dy))
+    rhs = float(_dot(dx, mtdy))
+    rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
+    assert rel < 1e-12, (lhs, rhs, rel)
