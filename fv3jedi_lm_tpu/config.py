@@ -78,6 +78,10 @@ class DynConfig:
     rf_cutoff: float = 30.0e2
     grid_type: int = 0       # <4: cube (Rayleigh_Super); >=4: doubly periodic (Rayleigh_Friction)
     rayleigh_fast: bool = False  # HIWPP inline per-substep drag (dyn_core_nlm.F90:905-907,2219)
+    p_fac: float = 0.05      # NH solver pressure floor factor (fv_arrays_nlm.F90)
+    kord_wz: int = 8         # vertical-wind remap order (fv_arrays_nlm.F90:266)
+    compute_omega: bool = False  # produce the omga diagnostic in step_nl
+    nf_omega: int = 1        # del2_cubed filter passes on omga (fv_arrays_nlm.F90:399)
 
     # --- vertical coordinate / physics interface ---
     hydrostatic: bool = True

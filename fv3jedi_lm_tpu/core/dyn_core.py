@@ -47,14 +47,18 @@ def geopk(ptop, delp, pt, hs, akap):
     return pe, peln, pk, gz, pkz
 
 
-def p_grad_c(dt2, pkc, gz, uc, vc, grid, npx):
-    """C-grid pressure-gradient update (dyn_core_nlm.F90:1369-1428)."""
+def p_grad_c(dt2, pkc, gz, uc, vc, grid, npx, delpc=None):
+    """C-grid pressure-gradient update (dyn_core_nlm.F90:1369-1428).
+
+    Hydrostatic: pkc is pe**cappa, wk its layer difference.  Nonhydrostatic
+    (delpc given): pkc is the FULL pressure from Riem_Solver_C and
+    wk = delpc (:1394-1404); the gradient formula is shared."""
     p = F2P
     n = npx - 1
     npy = npx
     rdxc = grid["rdxc"]
     rdyc = grid["rdyc"]
-    wk = pkc[1:] - pkc[:-1]      # (npz, ..., jc, jc)
+    wk = delpc if delpc is not None else pkc[1:] - pkc[:-1]
 
     bs = SL(1, npx)
     cs = SL(1, n)
@@ -154,6 +158,54 @@ def one_grad_p(u, v, pk, gz, divg2, dt, grid, npx, ptop, akap, d_ext):
     return u_new, v_new
 
 
+def nh_p_grad(u, v, pp, gz, delp, pk3, dt, grid, npx, ptop, akap):
+    """Nonhydrostatic D-grid pressure gradient (dyn_core_nlm.F90:1431-1528,
+    use_logp=.false.): the hydrostatic gradient on pk3 = p**kappa layers
+    plus the nonhydrostatic perturbation-pressure (pp) gradient on delp
+    layers, both via 4th-order B-grid corner interpolation."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    rdx = grid["rdx"]
+    rdy = grid["rdy"]
+    jb = u.shape[-2]
+    ptk = ptop ** akap
+
+    top_pk = jnp.full(pk3.shape[1:-2] + (jb, jb), ptk, pk3.dtype)[None]
+    pk_b = jnp.concatenate([top_pk, a2b_ord4(pk3[1:], grid)], axis=0)
+    pp_b = jnp.concatenate([jnp.zeros_like(top_pk),
+                            a2b_ord4(pp[1:], grid)], axis=0)
+    gz_b = a2b_ord4(gz, grid)
+    dp_b = a2b_ord4(delp, grid)
+
+    wk = pk_b[1:] - pk_b[:-1]
+    bs = SL(1, npx)
+    cs = SL(1, n)
+    b0 = slice(p(1), p(n) + 1)
+    b1 = slice(p(2), p(npx) + 1)
+
+    def grad(f_b, den, r0, c0, r1, c1):
+        return dt / (den[..., r0, c0] + den[..., r1, c1]) * (
+            (gz_b[1:][..., r0, c0] - gz_b[:-1][..., r1, c1])
+            * (f_b[1:][..., r1, c1] - f_b[:-1][..., r0, c0])
+            + (gz_b[:-1][..., r0, c0] - gz_b[1:][..., r1, c1])
+            * (f_b[1:][..., r0, c0] - f_b[:-1][..., r1, c1])
+        )
+
+    du1 = grad(pk_b, wk, bs, b0, bs, b1)
+    dun = grad(pp_b, dp_b, bs, b0, bs, b1)
+    u_new = u.at[..., bs, cs].set(
+        (u[..., bs, cs] + du1 + dun) * rdx[..., bs, cs])
+
+    r0 = slice(p(1), p(n) + 1)
+    r1 = slice(p(2), p(npy) + 1)
+    dv1 = grad(pk_b, wk, r0, bs, r1, bs)
+    dvn = grad(pp_b, dp_b, r0, bs, r1, bs)
+    v_new = v.at[..., cs, bs].set(
+        (v[..., cs, bs] + dv1 + dvn) * rdy[..., cs, bs])
+    return u_new, v_new
+
+
 def del2_cubed(q, cd, grid, topo, nmax, npx):
     """Del-2 filter, e.g. for omega/heat source (dyn_core_nlm.F90:2090-2199)."""
     p = F2P
@@ -193,6 +245,51 @@ def del2_cubed(q, cd, grid, topo, nmax, npx):
             )
         )
     return q
+
+
+def pem_interfaces(delp, ptop):
+    """Interface pressures from the padded delp (the pem capture at the
+    start of the last acoustic substep, dyn_core_nlm.F90:378-392)."""
+    return jnp.concatenate(
+        [jnp.full((1,) + delp.shape[1:], ptop, delp.dtype),
+         ptop + jnp.cumsum(delp, axis=0)],
+        axis=0,
+    )
+
+
+def adv_pe(ua, va, pem, om, grid, npx):
+    """Omega advective term V . grad(pe) by Green's theorem
+    (dyn_core_nlm.F90:1263-1364, use_old_omega path).
+
+    ua/va: A-grid contravariant winds left by the last substep's c_sw
+    (d2a2c_vect; d_sw does not modify them).  pem: interface pressures
+    captured at the start of that substep.  om: (pe - pem)*rdt on the
+    padded domain.  Interface winds are mid-level averages (bottom layer
+    uses its own level); grad(pe) comes from B-grid corner pressures
+    (a2b_ord2) integrated around each cell with the en1/en2 edge normals.
+    Returns om with the advective term added on the compute lanes.
+    """
+    p = F2P
+    n = npx - 1
+    cs = SL(1, n)
+    bs = SL(1, npx)
+    b0 = slice(p(1), p(n) + 1)
+    b1 = slice(p(2), p(npx) + 1)
+
+    up = jnp.concatenate([0.5 * (ua[:-1] + ua[1:]), ua[-1:]], axis=0)
+    vp = jnp.concatenate([0.5 * (va[:-1] + va[1:]), va[-1:]], axis=0)
+    v3 = (up[None][..., cs, cs] * grid["ec1"][:, None][..., cs, cs]
+          + vp[None][..., cs, cs] * grid["ec2"][:, None][..., cs, cs])
+
+    pb = a2b_ord2(pem[1:], grid)
+    pdx = ((pb[..., bs, b0] + pb[..., bs, b1])
+           * grid["dx"][..., bs, cs] * grid["en1"][:, None][..., bs, cs])
+    pdy = ((pb[..., b0, bs] + pb[..., b1, bs])
+           * grid["dy"][..., cs, bs] * grid["en2"][:, None][..., cs, bs])
+    grad = ((pdx[..., 1:, :] - pdx[..., :-1, :])
+            + (pdy[..., :, 1:] - pdy[..., :, :-1]))
+    return om.at[..., cs, cs].add(
+        0.5 * grid["rarea"][..., cs, cs] * jnp.sum(v3 * grad, axis=0))
 
 
 def _kcoef(cfg, npz, dtype):
@@ -349,7 +446,7 @@ def acoustic_carry(state, cfg, npz, dtype):
     n = cfg.npx - 1
     jc = n + 2 * NG
     lead = state["u"].shape[:-2]
-    return dict(
+    out = dict(
         u=state["u"], v=state["v"], w=state["w"],
         delp=state["delp"], pt=state["pt"],
         uc=state["uc"], vc=state["vc"], divgd=state["divgd"],
@@ -360,6 +457,18 @@ def acoustic_carry(state, cfg, npz, dtype):
         pk=jnp.zeros((npz + 1,) + lead[1:] + (jc, jc), dtype),
         pkz=jnp.zeros(lead + (jc, jc), dtype),
     )
+    if not cfg.hydrostatic:
+        # interface heights from delz, zh(km+1)=zs (dyn_core_nlm.F90:323-352,
+        # it==1 branch); zh persists across substeps (update_dz_d output)
+        from ..constants import GRAV
+        zs = state["phis"] / GRAV
+        zh = jnp.concatenate(
+            [zs[None] - jnp.cumsum(state["delz"][::-1], axis=0)[::-1],
+             zs[None]], axis=0)
+        out["zh"] = zh
+        out["delz"] = state["delz"]
+        out["ws"] = jnp.zeros(lead[1:] + (jc, jc), dtype)
+    return out
 
 
 def _rayleigh_fast_factor(cfg, npz, dtype, dt, ptop, pm):
@@ -380,7 +489,7 @@ def _rayleigh_fast_factor(cfg, npz, dtype, dt, ptop, pm):
 
 
 def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
-                          mode="traj", pm=None):
+                          mode="traj", pm=None, dp_ref=None):
     """Build the pure one-acoustic-sub-step function substep(carry, consts).
 
     consts = {"phis": padded surface geopotential}.  One sub-step =
@@ -434,23 +543,46 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             w = halo.fill_halo_center(w, topo)
 
         with scope("c_sw"):
-            delpc, ptc, wc, uc, vc, divgd, ua, va = c_sw(
+            delpc, ptc, wc, uc, vc, divgd, ua, va, ut_c, vt_c = c_sw(
                 delp, pt, u, v, w, uc, vc, grid, topo, dt2, cfg.nord,
                 cfg.hydrostatic, npx,
             )
         if cfg.nord > 0:
             divgd = halo.fill_halo_corner(divgd, topo)
 
-        with scope("geopk_c"):
-            _, _, pkc_c, gz_c, _ = geopk(ptop, delpc, ptc, phis, akap)
-        with scope("p_grad_c"):
-            uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
+        if cfg.hydrostatic:
+            with scope("geopk_c"):
+                _, _, pkc_c, gz_c, _ = geopk(ptop, delpc, ptc, phis, akap)
+            with scope("p_grad_c"):
+                uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx)
+        else:
+            # NH C-stage (dyn_core_nlm.F90:437-504): advect the interface
+            # heights with the c_sw transport winds, semi-implicit vertical
+            # solve for the full C-grid pressure, then the NH p_grad_c
+            from .nh_core import riem_solver_c, update_dz_c
+
+            from ..constants import GRAV
+            zs = phis / GRAV
+            with scope("update_dz_c"):
+                gz_m, ws3 = update_dz_c(dt2, dp_ref, zs, ut_c, vt_c,
+                                        c["zh"], grid, topo, npx)
+            with scope("riem_c"):
+                pkc_c, gz_c, _ = riem_solver_c(dt2, akap, ptop, phis, wc,
+                                               ptc, delpc, gz_m, ws3,
+                                               cfg.p_fac)
+            with scope("p_grad_c"):
+                uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx,
+                                  delpc=delpc)
         uc, vc = halo.fill_halo_cgrid(uc, vc, topo)
 
         ab = dict(u=u, v=v, w=w, delp=delp, pt=pt, uc=uc, vc=vc,
                   divgd=divgd, ua=ua, va=va,
                   mfx=c["mfx"], mfy=c["mfy"], cx=c["cx"], cy=c["cy"],
                   heat_source=c["heat_source"])
+        if not cfg.hydrostatic:
+            ab["zh"] = c["zh"]
+            ab["delz"] = c["delz"]
+            ab["ws"] = c["ws"]
         if cfg.d_ext > 0.0:
             ab["wk_dext"] = a2b_ord2(delp, grid)  # per-level B-grid delp
         return ab
@@ -487,6 +619,13 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             heat_source=ab["heat_source"] + r["heat_source"],
             uc=ab["uc"], vc=ab["vc"],
         )
+        if not cfg.hydrostatic:
+            bc["zh"] = ab["zh"]
+            bc["delz"] = ab["delz"]
+            bc["ws"] = ab["ws"]
+            # per-substep courant numbers / area fluxes for update_dz_d
+            bc["crx"], bc["cry"] = r["crx"], r["cry"]
+            bc["xfx"], bc["yfx"] = r["xfx"], r["yfx"]
         if cfg.d_ext > 0.0:
             bc["wk_dext"] = ab["wk_dext"]
         return bc
@@ -510,13 +649,50 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
         else:
             divg2 = jnp.zeros(lead[1:] + (jb, jb), dtype)
 
-        with scope("geopk_d"):
-            pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
+        if cfg.hydrostatic:
+            with scope("geopk_d"):
+                pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
 
-        with scope("one_grad_p"):
-            u, v = one_grad_p(
-                u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap, cfg.d_ext
-            )
+            with scope("one_grad_p"):
+                u, v = one_grad_p(
+                    u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap,
+                    cfg.d_ext
+                )
+            extra = {}
+        else:
+            # NH D-stage (dyn_core_nlm.F90:762-880): advect zh with the
+            # d_sw fluxes, semi-implicit solve for w/delz and the NH
+            # perturbation pressure, then the split NH pressure gradient.
+            # pkz here is the instantaneous NH equation of state (the
+            # reference keeps the stale remap pkz for the heat source;
+            # d_con's dtmp uses this fresher value).
+            from .nh_core import riem_solver3, update_dz_d
+
+            from ..constants import GRAV, RGAS
+            zs_m = phis / GRAV
+            with scope("update_dz_d"):
+                zh_m, ws = update_dz_d(dt, dp_ref, zs_m, bc["zh"],
+                                       bc["crx"], bc["cry"], bc["xfx"],
+                                       bc["yfx"], cfg.hord_tm, grid, topo,
+                                       npx)
+            with scope("riem_3"):
+                sol = riem_solver3(dt, akap, ptop, zs_m, ws, None, pt,
+                                   delp, zh_m, w, cfg.p_fac, fp_out=False)
+            w = sol["w"]
+            delz = sol["delz"]
+            zh2 = halo.fill_halo_center(sol["zh"], topo)
+            pp = halo.fill_halo_center(sol["ppe"], topo)
+            gz = zh2 * GRAV
+            pe, peln, pkc = sol["pe"], sol["peln"], sol["pk3"]
+            k1k = akap / (1.0 - akap)
+            rrg = -RGAS / GRAV
+            pkz = jnp.exp(k1k * jnp.log(jnp.maximum(
+                rrg * delp / jnp.minimum(delz, -1e-2)
+                * jnp.maximum(pt, 1e-10), 1e-30)))
+            with scope("nh_p_grad"):
+                u, v = nh_p_grad(u, v, pp, gz, delp, pkc, dt, grid, npx,
+                                 ptop, akap)
+            extra = dict(zh=zh2, delz=delz, ws=ws)
 
         if cfg.rayleigh_fast and cfg.tau > 0.0 and pm is not None:
             rff = _rayleigh_fast_factor(cfg, npz, dtype, abs(dt), ptop, pm)
@@ -530,7 +706,7 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             divgd=bc["divgd"],
             mfx=bc["mfx"], mfy=bc["mfy"], cx=bc["cx"], cy=bc["cy"],
             heat_source=bc["heat_source"],
-            pe=pe, peln=peln, pk=pkc, pkz=pkz,
+            pe=pe, peln=peln, pk=pkc, pkz=pkz, **extra,
         )
 
     def substep(c, consts):
@@ -578,13 +754,16 @@ def acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz):
         uc=carry["uc"], vc=carry["vc"], divgd=carry["divgd"],
         mfx=carry["mfx"], mfy=carry["mfy"], cx=carry["cx"], cy=carry["cy"],
     )
+    if "delz" in carry:
+        state["delz"] = carry["delz"]
+        state["ws"] = carry["ws"]
     vert = dict(pk=carry["pk"], pe=carry["pe"], peln=carry["peln"],
                 pkz=carry["pkz"])
     return state, vert
 
 
 def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
-             pm=None):
+             pm=None, compute_omega=False, dp_ref=None):
     """One mdt step = n_split acoustic sub-steps (hydrostatic).
 
     state: dict with u, v, w, pt (theta_v), delp, phis, uc, vc, divgd and
@@ -602,15 +781,39 @@ def dyn_core(state, q, grid, topo, cfg, dt_remap, akap, ptop, first_call,
     phis = state["phis"]
 
     substep = make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop,
-                                    npz, dtype, pm=pm)
+                                    npz, dtype, pm=pm, dp_ref=dp_ref)
     carry = acoustic_carry(state, cfg, npz, dtype)
+    consts = dict(phis=phis)
 
-    carry, _ = jax.lax.scan(
-        lambda c, _: (substep(c, dict(phis=phis)), None),
-        carry, None, length=cfg.n_split,
-    )
+    omga = None
+    if compute_omega and cfg.hydrostatic:
+        # use_old_omega diagnostic path (dyn_core_nlm.F90:378-392, 969-982):
+        # capture pem at the start of the LAST acoustic substep, then
+        # omga = (pe - pem)*rdt plus the adv_pe advective term with that
+        # substep's c_sw A-grid winds (intent-inout survivors of d_sw)
+        if cfg.n_split > 1:
+            carry, _ = jax.lax.scan(
+                lambda c, _: (substep(c, consts), None),
+                carry, None, length=cfg.n_split - 1,
+            )
+        pem = pem_interfaces(carry["delp"], ptop)
+        sa, sb, sc = substep.stages
+        ab = sa(carry, consts)
+        carry = sc(sb(ab, consts), consts)
+        rdt = cfg.n_split / dt_remap
+        omga = (carry["pe"][1:] - pem[1:]) * rdt
+        omga = adv_pe(ab["ua"], ab["va"], pem, omga, grid, cfg.npx)
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, _: (substep(c, consts), None),
+            carry, None, length=cfg.n_split,
+        )
 
-    return acoustic_finish(state, carry, grid, topo, cfg, dt_remap, npz)
+    state, vert = acoustic_finish(state, carry, grid, topo, cfg, dt_remap,
+                                  npz)
+    if omga is not None:
+        vert["omga"] = omga
+    return state, vert
 
 
 def _n_con(cfg, npz):

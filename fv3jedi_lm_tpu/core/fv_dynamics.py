@@ -145,7 +145,31 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
                                        -1, kd))
     v = v.at[..., cs, bsl].set(v_mid)
 
-    pkz_new_c = (pk2_c[1:] - pk2_c[:-1]) / (akap * (pn2_c[1:] - pn2_c[:-1]))
+    if cfg.hydrostatic:
+        pkz_new_c = (pk2_c[1:] - pk2_c[:-1]) / (akap * (pn2_c[1:] - pn2_c[:-1]))
+    else:
+        # NH: remap w (iv=-2 with the surface ws bottom condition,
+        # fv_mapz_nlm.F90:420-423) and delz as specific volume (:298-302,
+        # 424-431), then the NH equation-of-state pkz (:500-506)
+        from ..constants import GRAV, RGAS
+        rrg = -RGAS / GRAV
+        w = state["w"]
+        w_c = remap_mix(cfg.kord_wz, cfg.kord_wz, lambda kd:
+                        fv_mapz.map1_ppm(pe_c, w[..., cs, cs],
+                                         state["ws"][..., cs, cs], pe2_c,
+                                         -2, kd))
+        w = w.at[..., cs, cs].set(w_c)
+        delz = state["delz"]
+        sv_c = -delz[..., cs, cs] / delp[..., cs, cs]
+        sv_c = remap_mix(kord_tm, abs(cfg.kord_tm_pert), lambda kd:
+                         fv_mapz.map1_ppm(pe_c, sv_c, None, pe2_c, 1, kd))
+        delz_new_c = -sv_c * (pe2_c[1:] - pe2_c[:-1])
+        delz = delz.at[..., cs, cs].set(delz_new_c)
+        state = dict(state, w=w, delz=delz)
+        pkz_new_c = jnp.exp(akap * jnp.log(jnp.maximum(
+            rrg * (pe2_c[1:] - pe2_c[:-1])
+            / jnp.minimum(delz_new_c, -1e-2) * jnp.maximum(pt_c, 1e-10),
+            1e-30)))
 
     if last_step:
         # total-energy-conserving temperature correction (fv_mapz_nlm.F90:
@@ -188,8 +212,37 @@ def lagrangian_to_eulerian(state, vert, q, grid, topo, cfg, ak, bk,
     ps = state.get("ps", jnp.zeros_like(pe[-1])).at[..., cs, cs].set(ps_c)
 
     state = dict(state, pt=pt, delp=delp, u=u, v=v, ps=ps)
+    if last_step and "omga" in vert:
+        om_c = _remap_omega(vert["omga"][..., cs, cs], peln_c, pn2_c)
+        state["omga"] = jnp.zeros_like(delp).at[..., cs, cs].set(om_c)
     vert = dict(pe=pe2_c, peln=pn2_c, pk=pk2_c, pkz=pkz_new_c)
     return state, q, vert
+
+
+def _remap_omega(om_c, peln_c, pn2_c):
+    """Interpolate omga from the Lagrangian interfaces to the new Eulerian
+    mid-levels in log-p (fv_mapz_nlm.F90:445-541, do_omega): omga sits at
+    the lower interface of each Lagrangian layer (pe3(1)=0,
+    pe3(k)=omga(k-1)); targets are dp2 = 0.5*(peln_new(k)+peln_new(k+1)).
+    Bracket search vectorized as a per-column searchsorted (the Fortran
+    k_next sweep); out-of-range targets extrapolate from the clipped end
+    bracket instead of keeping the raw value."""
+    import jax
+
+    km = om_c.shape[0]
+    pe3 = jnp.concatenate([jnp.zeros_like(om_c[:1]), om_c], axis=0)
+    dp2 = 0.5 * (pn2_c[:-1] + pn2_c[1:])
+    flat_pe = peln_c.reshape(km + 1, -1).T
+    flat_o = pe3.reshape(km + 1, -1).T
+    flat_dp = dp2.reshape(km, -1).T
+    idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        flat_pe, flat_dp)
+    k = jnp.clip(idx - 1, 0, km - 1)
+    take = lambda arr, i: jnp.take_along_axis(arr, i, axis=1)
+    pl, pr = take(flat_pe, k), take(flat_pe, k + 1)
+    ol, orr = take(flat_o, k), take(flat_o, k + 1)
+    out = ol + (orr - ol) * (flat_dp - pl) / (pr - pl)
+    return out.T.reshape(om_c.shape)
 
 
 def prep_stage(state, q, grid, topo, cfg, ptop):
@@ -215,10 +268,29 @@ def prep_stage(state, q, grid, topo, cfg, ptop):
     pe, peln, pk, pkz = compute_fv3_pressures(delp, akap, ptop)
 
     # T -> theta_v (fv_dynamics_nlm.F90:397-430)
-    pt = pt_in * (1.0 + ZVIR * sphum) / pkz
+    if cfg.hydrostatic:
+        pt = pt_in * (1.0 + ZVIR * sphum) / pkz
+    else:
+        # NH: delz needs valid halos for the zh build and the interface
+        # advection; w is halo-filled per substep in stage_a.  The entry
+        # pkz is the NH equation of state (rrg*delp/delz*Tv)**kappa — the
+        # exact inverse of the L2E exit conversion (fv_mapz_nlm.F90:
+        # 500-506), so a state at rest round-trips exactly.  (Full FV3
+        # carries the L2E NH pkz in its persistent state; the LM wrapper's
+        # compute_fv3_pressures reuses the hydrostatic pkz, which would
+        # pump T/w at rest.)
+        from ..constants import GRAV, RGAS
+        rrg = -RGAS / GRAV
+        delz = halo.fill_halo_center(state["delz"], topo)
+        state = dict(state, delz=delz)
+        tv = pt_in * (1.0 + ZVIR * sphum)
+        pkz_nh = jnp.exp(akap * jnp.log(jnp.maximum(
+            rrg * delp / jnp.minimum(delz, -1e-2)
+            * jnp.maximum(tv, 1e-10), 1e-30)))
+        pt = tv / pkz_nh
 
     from ..ops.reductions import CONSV_MIN
-    if cfg.consv_te > CONSV_MIN:
+    if cfg.consv_te > CONSV_MIN and cfg.hydrostatic:
         # step-entry total energy (compute_total_energy called before the
         # k_split loop, fv_dynamics_nlm.F90:366-372; pt is temperature and
         # qc = zvir*sphum there)
@@ -262,6 +334,8 @@ def pre_acoustic_stage(state, grid, topo, cfg):
         delp=halo.fill_halo_center(state["delp"], topo),
         pt=halo.fill_halo_center(state["pt"], topo),
     )
+    if not cfg.hydrostatic:
+        state = dict(state, delz=halo.fill_halo_center(state["delz"], topo))
     return state, state["delp"]
 
 
@@ -438,8 +512,10 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
         pm = ((pe_ref[1:] - pe_ref[:-1])
               / np.log(np.maximum(pe_ref[1:], 1e-10)
                        / np.maximum(pe_ref[:-1], 1e-10)))
+        dp_ref = pe_ref[1:] - pe_ref[:-1]     # (dyn_core_nlm.F90:216-219)
         state, vert = dyn_core(
             state, q, grid, topo, cfg, mdt, akap, ptop, False, pm=pm,
+            compute_omega=cfg.compute_omega and last_step, dp_ref=dp_ref,
         )
 
         if len(q) > 0 and not cfg.inline_q:
@@ -458,6 +534,13 @@ def fv_dynamics(state, q, grid, topo, cfg, bdt, ak, bk, ptop):
     for _ in range(cfg.k_split - 1):
         state, q = remap_step(state, q, False)
     state, q = remap_step(state, q, True)
+
+    if "omga" in state and cfg.nf_omega > 0:
+        # filter omega for the physics (fv_dynamics_nlm.F90:627-629)
+        from .dyn_core import del2_cubed
+        state = dict(state, omga=del2_cubed(
+            state["omga"], 0.18 * grid["da_min"], grid, topo,
+            cfg.nf_omega, cfg.npx))
 
     if cfg.tau > 0.0:
         if cfg.grid_type < 4:

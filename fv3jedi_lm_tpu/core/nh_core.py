@@ -158,8 +158,12 @@ def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
     (pef, gz_new, w_new)."""
     km = delp.shape[0]
     shp = delp.shape[1:]
-    dm = delp.reshape(km, -1)
-    pt2 = pt.reshape(km, -1)
+    # garbage-lane sanitizers (plain jnp, never binding on valid columns):
+    # padded corner wedges carry undefined delp/pt/gz; keep every derived
+    # quantity finite there so zero-cotangent lanes cannot breed NaNs in
+    # the vjp (see NOTES_BUILD f32 sentinel rule)
+    dm = jnp.maximum(delp.reshape(km, -1), 1e-10)
+    pt2 = jnp.maximum(pt.reshape(km, -1), 1e-10)
     w2 = w3.reshape(km, -1)
     gz2 = gz.reshape(km + 1, -1)
     hs2 = hs.reshape(-1)
@@ -168,8 +172,8 @@ def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
     pem = jnp.concatenate(
         [jnp.full_like(dm[:1], ptop),
          ptop + jnp.cumsum(dm, axis=0)], axis=0)
-    dz2 = gz2[1:] - gz2[:-1]
-    pm2 = dm / jnp.log(pem[1:] / pem[:-1])
+    dz2 = jnp.minimum(gz2[1:] - gz2[:-1], -1e-2)
+    pm2 = dm / jnp.maximum(jnp.log(pem[1:] / pem[:-1]), 1e-30)
     dmg = dm / GRAV
 
     pe, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
@@ -197,22 +201,22 @@ def riem_solver3(dt, akap, ptop, zs, ws, delz_unused, pt, delp, zh, w,
     pressure when fp_out else the NH perturbation)."""
     km = delp.shape[0]
     shp = delp.shape[1:]
-    dm_p = delp.reshape(km, -1)
-    pt2 = pt.reshape(km, -1)
+    # garbage-lane sanitizers, as in riem_solver_c
+    dm_p = jnp.maximum(delp.reshape(km, -1), 1e-10)
+    pt2 = jnp.maximum(pt.reshape(km, -1), 1e-10)
     w2 = w.reshape(km, -1)
     zh2 = zh.reshape(km + 1, -1)
     zs2 = zs.reshape(-1)
     ws2 = ws.reshape(-1)
 
-    peln1 = jnp.log(ptop)
     pem = jnp.concatenate(
         [jnp.full_like(dm_p[:1], ptop),
          ptop + jnp.cumsum(dm_p, axis=0)], axis=0)
     peln2 = jnp.log(pem)
     pk3 = jnp.exp(akap * peln2)
-    pm2 = dm_p / (peln2[1:] - peln2[:-1])
+    pm2 = dm_p / jnp.maximum(peln2[1:] - peln2[:-1], 1e-30)
     dmg = dm_p / GRAV
-    dz2 = zh2[1:] - zh2[:-1]
+    dz2 = jnp.minimum(zh2[1:] - zh2[:-1], -1e-2)
 
     pe2, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
                                      akap, p_fac)

@@ -76,11 +76,13 @@ class StagedStepper:
         pm = ((pe_ref[1:] - pe_ref[:-1])
               / np.log(np.maximum(pe_ref[1:], 1e-10)
                        / np.maximum(pe_ref[:-1], 1e-10)))
+        dp_ref = pe_ref[1:] - pe_ref[:-1]
         self._sub_traj = make_acoustic_substep(
-            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="traj", pm=pm)
+            grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="traj",
+            pm=pm, dp_ref=dp_ref)
         self._sub_mix = make_acoustic_substep(
             grid, topo, dyn, mdt, KAPPA, ptop, npz, dtype, mode="mixed",
-            pm=pm)
+            pm=pm, dp_ref=dp_ref)
 
         def post(st2, carry, q, dp1, last, mode):
             return post_acoustic_stage(st2, carry, q, dp1, grid, topo, dyn,
@@ -112,8 +114,14 @@ class StagedStepper:
                 ps=jnp.zeros((6, jc, jc), dtype),
                 phis=jnp.zeros((6, jc, jc), dtype),
             )
+            if not dyn.hydrostatic:
+                # NH prognostic cotangents (w/delz from the pert state;
+                # ws is internal, zero cotangent)
+                st["w"] = z3(jc, jc).at[:, :, cs, cs].set(pb["w"])
+                st["delz"] = z3(jc, jc).at[:, :, cs, cs].set(pb["delz"])
+                st["ws"] = jnp.zeros((6, jc, jc), dtype)
             from ..ops.reductions import CONSV_MIN
-            if dyn.consv_te > CONSV_MIN:
+            if dyn.consv_te > CONSV_MIN and dyn.hydrostatic:
                 st["te0_2d"] = jnp.zeros((6, n, n), dtype)
             q = [z3(jc, jc).at[:, :, cs, cs].set(pb[name])
                  for name in self.lm.tracers]
@@ -352,8 +360,11 @@ class StagedStepper:
         sa, sb, sc = self._sub_mix.stages
 
         def slice_cj(carries, tapes_k, j):
+            # tape entries may be nested lists (freeze.fscan records one
+            # list-of-stacked-arrays entry per scan) -> tree-slice them
             return (jax.tree.map(lambda x: x[j], carries),
-                    tuple([t[j] for t in ts] for ts in tapes_k))
+                    tuple([jax.tree.map(lambda x: x[j], t) for t in ts]
+                          for ts in tapes_k))
 
         def a_fwd_fn(carries, tapes_k, j, phis_p):
             c_j, t3 = slice_cj(carries, tapes_k, j)

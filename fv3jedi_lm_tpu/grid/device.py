@@ -32,6 +32,7 @@ def to_device(g: GridMetrics, dtype=jnp.float64) -> dict:
         "rsin_v", "cosa_s", "rsin2", "cosa", "sina", "rsina",
         "divg_u", "divg_v", "del6_u", "del6_v", "fC", "f0",
         "a11", "a12", "a21", "a22", "vlon", "vlat", "ec1", "ec2",
+        "en1", "en2",
         "corner_ext_coef",
     ):
         arr = getattr(g, name)

@@ -156,6 +156,9 @@ class GridMetrics:
     # local unit vectors at cell centers (ec1 = x-dir, ec2 = y-dir)
     ec1: np.ndarray = None
     ec2: np.ndarray = None
+    # edge-normal unit vectors for adv_pe (fv_grid_utils_nlm.F90:680-693)
+    en1: np.ndarray = None
+    en2: np.ndarray = None
 
 
 def build_grid(npx: int, ng: int = NG, radius: float = RADIUS,
@@ -339,6 +342,19 @@ def build_grid(npx: int, ng: int = NG, radius: float = RADIUS,
     ec1 = sphere.normalize(pdiff1 - np.sum(pdiff1 * axyz, -1, keepdims=True) * axyz)
     ec2 = sphere.normalize(pdiff2 - np.sum(pdiff2 * axyz, -1, keepdims=True) * axyz)
     g.ec1, g.ec2 = np.moveaxis(ec1, -1, 0), np.moveaxis(ec2, -1, 0)
+
+    # edge-normal unit vectors for the omega advective term (adv_pe):
+    # en1 at u positions = normalize(grid3(i,j) x grid3(i+1,j)),
+    # en2 at v positions = normalize(grid3(i,j+1) x grid3(i,j))
+    # (fv_grid_utils_nlm.F90:680-693)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        en1 = sphere.normalize(sphere.cross(xyz[:, :, :-1], xyz[:, :, 1:]))
+        en2 = sphere.normalize(sphere.cross(xyz[:, 1:, :], xyz[:, :-1, :]))
+    # ghost/corner lanes have degenerate corner pairs -> zero them (they
+    # are never read by adv_pe's compute-domain slices)
+    en1 = np.where(np.isfinite(en1), en1, 0.0)
+    en2 = np.where(np.isfinite(en2), en2, 0.0)
+    g.en1, g.en2 = np.moveaxis(en1, -1, 0), np.moveaxis(en2, -1, 0)
 
     #     9---4---8
     #     |       |

@@ -78,6 +78,10 @@ class LinearModel:
         # advected tracer (fv3jedi_lm_dynamics_mod.F90:159-167)
         self.tracers = TRACERS + ("cfcn",) if cfg.do_phy_mst else TRACERS
         self.prog_3d = ("u", "v", "t", "delp") + self.tracers
+        if not cfg.dyn.hydrostatic:
+            # NH prognostics/pert fields (fv3jedi_lm_dynamics_mod.F90:
+            # 772-775, 834-836: traj%w/delz and pert wp/delzp)
+            self.prog_3d = self.prog_3d + ("w", "delz")
         self.dtype = jnp.dtype(dyn.dtype)
         if big is None:
             # halo-sentinel magnitude for undefined metric lanes (reference
@@ -137,6 +141,9 @@ class LinearModel:
         p = {f: z3(n, n) for f in ("t", "delp") + self.tracers}
         p["u"] = z3(n + 1, n)
         p["v"] = z3(n, n + 1)
+        if not self.cfg.dyn.hydrostatic:
+            p["w"] = z3(n, n)
+            p["delz"] = z3(n, n)
         return p
 
     def rest_traj(self, t0: float = 280.0, ps0: float = 1.0e5) -> dict:
@@ -151,6 +158,19 @@ class LinearModel:
         )
         tr["t"] = jnp.full_like(tr["t"], t0)
         tr["phis"] = jnp.zeros((6, n, n), self.dtype)
+        if not self.cfg.dyn.hydrostatic:
+            # layer depths in DISCRETE balance with the SIM1 equation of
+            # state: rho*R*T == pm (the layer-mean hydrostatic pressure),
+            # so the NH solver starts with zero pressure perturbation and
+            # the entry/exit EOS conversions round-trip exactly
+            from .constants import GRAV, RGAS
+            peln = np.log(np.maximum(pe, 1e-30))
+            dlnp = peln[1:] - peln[:-1]
+            dm = pe[1:] - pe[:-1]
+            pm = dm / dlnp
+            tr["delz"] = jnp.asarray(
+                -(dm / GRAV) * RGAS * t0 / pm
+                * np.ones((1, 6, n, n)), self.dtype)
         for f in SURFACE_2D:
             tr[f] = jnp.zeros((6, n, n), self.dtype)
         return tr
@@ -184,7 +204,11 @@ class LinearModel:
         st["u"], st["v"] = halo.fix_shared_edges_dgrid(st["u"], st["v"], self.topo)
         st["pt"] = pad3(prog["t"], jc, jc, cs, cs)
         st["delp"] = pad3(prog["delp"], jc, jc, cs, cs)
-        st["w"] = jnp.zeros((npz, 6, jc, jc), self.dtype)
+        if "w" in prog:
+            st["w"] = pad3(prog["w"], jc, jc, cs, cs)
+            st["delz"] = pad3(prog["delz"], jc, jc, cs, cs)
+        else:
+            st["w"] = jnp.zeros((npz, 6, jc, jc), self.dtype)
         q = [pad3(prog[name], jc, jc, cs, cs) for name in self.tracers]
         return st, q
 
@@ -200,6 +224,13 @@ class LinearModel:
         }
         for name, qq in zip(self.tracers, q):
             out[name] = qq[:, :, cs, cs]
+        if "delz" in st:
+            out["w"] = st["w"][:, :, cs, cs]
+            out["delz"] = st["delz"][:, :, cs, cs]
+        if "omga" in st:
+            # vertical pressure velocity diagnostic for the physics
+            # interface (fv_dynamics_nlm.F90:125, cfg.compute_omega)
+            out["omga"] = st["omga"][:, :, cs, cs]
         return out
 
     def _pad_phis(self, phis):

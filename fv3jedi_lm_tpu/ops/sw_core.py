@@ -677,4 +677,6 @@ def c_sw(delp, pt, u, v, w, uc, vc, grid, topo, dt2, nord, hydrostatic, npx):
         * (ke[..., p(0):p(n) + 1, rs] - ke[..., p(1):p(npy) + 1, rs])
     )
 
-    return delpc, ptc, wc, uc_new, vc_new, divg_d, ua, va
+    # ut/vt: the dt2-scaled C-grid transport winds (area-flux form); the
+    # NH update_dz_c consumes them (nh_utils_nlm.F90:43-181)
+    return delpc, ptc, wc, uc_new, vc_new, divg_d, ua, va, ut, vt
