@@ -31,15 +31,28 @@ NEAR_ZERO = 1.0e-9  # sw_core_nlm.F90:37
 
 def _del6_vt_flux_masked(nord_n, damps, mask0, q, grid, topo):
     """del6_vt_flux at per-level order: order-0 on mask0 levels, nord_n
-    elsewhere (the sponge-band override of dyn_core_nlm.F90:536-630 in
-    single-trace masked form).  damps = (damp4 order-0, damp4 order-n),
-    each (npz,1,1,1)."""
-    d0, fx0, fy0 = del6_vt_flux(0, damps[0], q, grid, topo)
+    elsewhere (the sponge-band override of dyn_core_nlm.F90:536-630).
+    The level batch is split STATICALLY at the sponge band edge so each
+    order is evaluated only on its own levels (mask0 is a static numpy
+    array; isolated special levels inside the band still blend).
+    damps = (damp4 order-0, damp4 order-n), each (npz,1,1,1)."""
+    from .transport import mask_band
+
     if nord_n == 0:
-        return d0, fx0, fy0
-    dn, fxn, fyn = del6_vt_flux(nord_n, damps[1], q, grid, topo)
-    return (jnp.where(mask0, d0, dn), jnp.where(mask0, fx0, fxn),
-            jnp.where(mask0, fy0, fyn))
+        return del6_vt_flux(0, damps[0], q, grid, topo)
+    k0, mixed = mask_band(mask0)
+    if k0 == 0:
+        return del6_vt_flux(nord_n, damps[1], q, grid, topo)
+    outA = del6_vt_flux(0, damps[0][:k0], q[:k0], grid, topo)
+    if mixed:
+        outAn = del6_vt_flux(nord_n, damps[1][:k0], q[:k0], grid, topo)
+        outA = tuple(jnp.where(mask0[:k0], a, b)
+                     for a, b in zip(outA, outAn))
+    if k0 == q.shape[0]:
+        return outA
+    outB = del6_vt_flux(nord_n, damps[1][k0:], q[k0:], grid, topo)
+    return tuple(jnp.concatenate([a, b], axis=0)
+                 for a, b in zip(outA, outB))
 P1 = 7.0 / 12.0
 P2 = -1.0 / 12.0
 C1 = -2.0 / 14.0
@@ -339,12 +352,13 @@ def xtp_u(cb, u, dx, rdx, iord, npx):
 
     cb: (..., jb, jb) courant (only B 1..npx read); u: (..., jb, jc).
     Returns (..., npx, npx) flux at B points (j, i) in [1, npx]^2.
-    `iord` may be a per-level blend (main, sponge, mask_k) — see ppm.xppm.
+    `iord` may be a per-level blend (main, sponge, ksp) — see ppm.xppm.
     """
     if isinstance(iord, tuple):
-        main, sponge, mask = iord
-        return jnp.where(mask, xtp_u(cb, u, dx, rdx, sponge, npx),
-                         xtp_u(cb, u, dx, rdx, main, npx))
+        main, sponge, ksp = iord
+        return jnp.concatenate(
+            [xtp_u(cb[:ksp], u[:ksp], dx, rdx, sponge, npx),
+             xtp_u(cb[ksp:], u[ksp:], dx, rdx, main, npx)], axis=0)
     bs = SL(1, npx)
     rows = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
     return _xtp_flux(
@@ -357,9 +371,10 @@ def ytp_v(cb, v, dy, rdy, jord, npx):
     """Flux of v along y at B points (sw_core_nlm.F90:2312): the same
     operator along axis -2, transpose-free."""
     if isinstance(jord, tuple):
-        main, sponge, mask = jord
-        return jnp.where(mask, ytp_v(cb, v, dy, rdy, sponge, npx),
-                         ytp_v(cb, v, dy, rdy, main, npx))
+        main, sponge, ksp = jord
+        return jnp.concatenate(
+            [ytp_v(cb[:ksp], v[:ksp], dy, rdy, sponge, npx),
+             ytp_v(cb[ksp:], v[ksp:], dy, rdy, main, npx)], axis=0)
     bs = SL(1, npx)
     cols = jnp.zeros((npx,), bool).at[0].set(True).at[npx - 1].set(True)
     return _xtp_flux(
@@ -1048,23 +1063,24 @@ def d_sw(
     # divergence damping (:1297-1432)
     # ---------------------------------------------------------------
     bs = SL(1, npx)
-    if True:
-        # del-2: compute B-grid divergence from covariant winds.  Always
-        # evaluated (whole level batch); selected on nord0 (sponge) levels.
-        ptc_s = jnp.zeros(u.shape[:-2] + (jb, jc), dtype)
+
+    def _div_damp_d2(uS, vS, vaS, uaS, ucS, vcS, d2kS):
+        """del-2 path: B-grid divergence from covariant winds; returns
+        (vort_b0 at B 1..npx, delpc on the full B array)."""
+        ptc_s = jnp.zeros(uS.shape[:-2] + (jb, jc), dtype)
         # rows j=1..npy, cols i=0..n+1
         csx = SL(0, n + 1)
         ptc_i = (
-            u[..., bs, csx]
+            uS[..., bs, csx]
             - 0.5
-            * (va[..., p(0):p(npy - 1) + 1, csx] + va[..., p(1):p(npy) + 1, csx])
+            * (vaS[..., p(0):p(npy - 1) + 1, csx] + vaS[..., p(1):p(npy) + 1, csx])
             * cosa_v[..., bs, csx]
         ) * dyc[..., bs, csx] * sina_v[..., bs, csx]
         ptc_s = ptc_s.at[..., bs, csx].set(ptc_i)
         for jrow in (p(1), p(npy)):
-            selj = fbool(vc[..., jrow, csx] > 0.0)
+            selj = fbool(vcS[..., jrow, csx] > 0.0)
             ptc_s = ptc_s.at[..., jrow, csx].set(
-                u[..., jrow, csx]
+                uS[..., jrow, csx]
                 * dyc[..., jrow, csx]
                 * jnp.where(
                     selj,
@@ -1072,20 +1088,20 @@ def d_sw(
                     sin_sg[1][..., jrow, csx],
                 )
             )
-        vort_s = jnp.zeros(u.shape[:-2] + (jc, jb), dtype)
+        vort_s = jnp.zeros(uS.shape[:-2] + (jc, jb), dtype)
         csy = SL(0, n + 1)
         is2 = SL(2, npx - 1)
         vort_i = (
-            v[..., csy, is2]
+            vS[..., csy, is2]
             - 0.5
-            * (ua[..., csy, p(1):p(npx - 2) + 1] + ua[..., csy, p(2):p(npx - 1) + 1])
+            * (uaS[..., csy, p(1):p(npx - 2) + 1] + uaS[..., csy, p(2):p(npx - 1) + 1])
             * cosa_u[..., csy, is2]
         ) * dxc[..., csy, is2] * sina_u[..., csy, is2]
         vort_s = vort_s.at[..., csy, is2].set(vort_i)
         for icol in (p(1), p(npx)):
-            seli = fbool(uc[..., csy, icol] > 0.0)
+            seli = fbool(ucS[..., csy, icol] > 0.0)
             vort_s = vort_s.at[..., csy, icol].set(
-                v[..., csy, icol]
+                vS[..., csy, icol]
                 * dxc[..., csy, icol]
                 * jnp.where(
                     seli,
@@ -1117,29 +1133,30 @@ def d_sw(
         )
         delpc_b = rarea_c[..., bs, bs] * delpc_b
         dampc = da_min_c * fmax(
-            d2_divg_k, fmin(0.20, dddmp * fabs(delpc_b * dt))
+            d2kS, fmin(0.20, dddmp * fabs(delpc_b * dt))
         )
         vort_b0 = dampc * delpc_b
-        delpc_full = jnp.zeros(u.shape[:-2] + (jb, jb), dtype).at[
+        delpc_full = jnp.zeros(uS.shape[:-2] + (jb, jb), dtype).at[
             ..., bs, bs
         ].set(delpc_b)
+        return vort_b0, delpc_full
 
-    if nord > 0:
-        # higher-order divergence damping on divg_d (non-sponge levels)
-        dd = divg_d
+    def _div_damp_dn(divg_dS, wkS, d2kS):
+        """del-(2nord+2) path on divg_d; returns (vort_bn at B 1..npx, dd)."""
+        dd = divg_dS
         n2 = nord + 1
         for nloop in range(1, nord + 1):
             nt = nord - nloop
             fill_c = nt != 0
             if fill_c:
                 dd = halo.fill_corners_scalar(dd, topo, "bgrid", 1)
-            vcd = jnp.zeros(u.shape[:-2] + (jb, jc), dtype)
+            vcd = jnp.zeros(dd.shape[:-2] + (jb, jc), dtype)
             vcd = vcd.at[..., :, 0:jc].set(
                 (dd[..., :, 1:jc + 1] - dd[..., :, 0:jc]) * divg_u
             )
             if fill_c:
                 dd = halo.fill_corners_scalar(dd, topo, "bgrid", 2)
-            ucd = jnp.zeros(u.shape[:-2] + (jc, jb), dtype)
+            ucd = jnp.zeros(dd.shape[:-2] + (jc, jb), dtype)
             ucd = ucd.at[..., 0:jc, :].set(
                 (dd[..., 1:jc + 1, :] - dd[..., 0:jc, :]) * divg_v
             )
@@ -1170,29 +1187,64 @@ def d_sw(
             )
             dd = dd_new * rarea_c
         if dddmp < 1.0e-5:
-            vort_sm = jnp.zeros(u.shape[:-2] + (npx, npx), dtype)
+            vort_sm = jnp.zeros(dd.shape[:-2] + (npx, npx), dtype)
         else:
-            wkb = a2b_ord4(wk, grid)
+            wkb = a2b_ord4(wkS, grid)
             # safe sqrt: d(sqrt)/ds -> inf at s=0 poisons jvp/vjp tangents on
             # resting trajectories; take subgradient 0 there (value unchanged)
-            sm2 = divg_d[..., bs, bs] ** 2 + wkb[..., bs, bs] ** 2
+            sm2 = divg_dS[..., bs, bs] ** 2 + wkb[..., bs, bs] ** 2
             smpos = fbool(sm2 > 0.0)
             vort_sm = abs(dt) * jnp.where(
                 smpos, jnp.sqrt(jnp.where(smpos, sm2, 1.0)), 0.0
             )
         dd8 = (da_min_c * d4_bg) ** n2
         damp2 = da_min_c * fmax(
-            d2_divg_k, fmin(0.20, dddmp * vort_sm)
+            d2kS, fmin(0.20, dddmp * vort_sm)
         )
-        vort_bn = damp2 * divg_d[..., bs, bs] + dd8 * dd[..., bs, bs]
-        # per-level selection: sponge levels use the del-2 path
+        vort_bn = damp2 * divg_dS[..., bs, bs] + dd8 * dd[..., bs, bs]
+        return vort_bn, dd
+
+    from .transport import mask_band
+    k0, mixed = mask_band(nord0_k) if nord > 0 else (u.shape[0], False)
+    can_split = (nord > 0 and u.ndim >= 4
+                 and u.shape[0] == nord0_k.shape[0] and 0 < k0)
+    if nord == 0:
+        # pure del-2 everywhere
+        vort_b, delpc_full = _div_damp_d2(u, v, va, ua, uc, vc, d2_divg_k)
+        divd_saved = delpc_full
+        divg_d_new = divg_d
+    elif k0 == 0:
+        # no sponge levels: pure del-n, the del-2 stencils never run
+        vort_b, dd = _div_damp_dn(divg_d, wk, d2_divg_k)
+        divd_saved = divg_d
+        divg_d_new = dd
+    elif can_split:
+        # static band split: del-2 on the sponge band [0,k0) (+ del-n blend
+        # only if the band has isolated non-sponge levels), del-n below
+        vort_bA, delpcA = _div_damp_d2(
+            u[:k0], v[:k0], va[:k0], ua[:k0], uc[:k0], vc[:k0],
+            d2_divg_k[:k0])
+        dsavA, dnewA = delpcA, divg_d[:k0]
+        if mixed:
+            vort_bAn, ddA = _div_damp_dn(divg_d[:k0], wk[:k0], d2_divg_k[:k0])
+            mA = nord0_k[:k0]
+            vort_bA = jnp.where(mA, vort_bA, vort_bAn)
+            dsavA = jnp.where(mA, delpcA, divg_d[:k0])
+            dnewA = jnp.where(mA, divg_d[:k0], ddA)
+        if k0 < u.shape[0]:
+            vort_bB, ddB = _div_damp_dn(divg_d[k0:], wk[k0:], d2_divg_k[k0:])
+            vort_b = jnp.concatenate([vort_bA, vort_bB], axis=0)
+            divd_saved = jnp.concatenate([dsavA, divg_d[k0:]], axis=0)
+            divg_d_new = jnp.concatenate([dnewA, ddB], axis=0)
+        else:
+            vort_b, divd_saved, divg_d_new = vort_bA, dsavA, dnewA
+    else:
+        # fallback: masked single-trace blend (both paths, per-level select)
+        vort_b0, delpc_full = _div_damp_d2(u, v, va, ua, uc, vc, d2_divg_k)
+        vort_bn, dd = _div_damp_dn(divg_d, wk, d2_divg_k)
         vort_b = jnp.where(nord0_k, vort_b0, vort_bn)
         divd_saved = jnp.where(nord0_k, delpc_full, divg_d)
         divg_d_new = jnp.where(nord0_k, divg_d, dd)
-    else:
-        vort_b = vort_b0
-        divd_saved = delpc_full
-        divg_d_new = divg_d
     ke = ke.at[..., bs, bs].add(vort_b)
 
     # d_con damping-heat vectors (:1436-1448)

@@ -360,16 +360,19 @@ def xppm(q, c, iord, dxa, e0=None, e1=None, ax: int = -1):
     Default edge range is the compute range [NG, NG+n+1] (Fortran is..ie+1).
     Returns flux with width e1-e0 along ax.
 
-    `iord` may be a per-level blend `(iord_main, iord_sponge, mask_k)` with
-    mask_k an (npz,1,1,1) bool selecting the sponge scheme — the TLM's
-    perturbation sponge-layer override (dyn_core_tlm.F90:861-875) in
-    single-trace masked form.
+    `iord` may be a per-level blend `(iord_main, iord_sponge, ksp)` with
+    ksp a STATIC int: levels [0, ksp) use the sponge scheme — the TLM's
+    perturbation sponge-layer override (dyn_core_tlm.F90:861-875).  The
+    level batch is split statically so each scheme is evaluated exactly
+    once on its own band (no masked double evaluation).
     """
     if isinstance(iord, tuple):
-        main, sponge, mask = iord
-        fa = xppm(q, c, main, dxa, e0, e1, ax)
-        fb = xppm(q, c, sponge, dxa, e0, e1, ax)
-        return jnp.where(mask, fb, fa)
+        main, sponge, ksp = iord
+        qs, qm = q[:ksp], q[ksp:]
+        cs_, cm = c[:ksp], c[ksp:]
+        fb = xppm(qs, cs_, sponge, dxa, e0, e1, ax)
+        fa = xppm(qm, cm, main, dxa, e0, e1, ax)
+        return jnp.concatenate([fb, fa], axis=0)
     A = _AXX if ax == -1 else _AXY
     ic = A.size(q)
     n = ic - 2 * NG

@@ -40,8 +40,8 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, grid, topo, ra_x, ra_y,
     """
     n = q.shape[-1] - 2 * NG
     if isinstance(hord, tuple):
-        hm, hs, hmask = hord
-        ord_in = (8 if hm == 10 else hm, 8 if hs == 10 else hs, hmask)
+        hm, hs, ksp = hord
+        ord_in = (8 if hm == 10 else hm, 8 if hs == 10 else hs, ksp)
     else:
         ord_in = 8 if hord == 10 else hord
     ord_ou = hord
@@ -87,16 +87,46 @@ def fv_tp_2d(q, crx, cry, hord, xfx, yfx, grid, topo, ra_x, ra_y,
     return fx, fy
 
 
+def mask_band(mask0):
+    """Static sponge-band split point from a STATIC (npz,1,1,1) numpy mask:
+    returns (k0, mixed) — mask0 is all-False from level k0 on, and `mixed`
+    says whether levels [0, k0) still need a per-level select (the traj
+    sponge has isolated special levels, dyn_core_nlm.F90:543-569)."""
+    import numpy as np
+
+    m = np.asarray(mask0).reshape(-1)
+    if not m.any():
+        return 0, False
+    k0 = int(np.nonzero(m)[0].max()) + 1
+    return k0, not bool(m[:k0].all())
+
+
 def _deln_flux_masked(damp_k, q_x, fx, fy, grid, topo, mass):
-    """Per-level damping order/coefficient selection: evaluate the del-2 and
-    del-(2nord+2) diffusive fluxes once each (whole npz batch) and pick per
-    level — the single-trace equivalent of dyn_core's per-k sponge bands."""
+    """Per-level damping order/coefficient selection (the sponge bands of
+    dyn_core_nlm.F90:536-630): the level batch is split STATICALLY at the
+    band edge so the del-2 variant runs only on the sponge levels and the
+    del-(2nord+2) variant only where selected — no double evaluation."""
     damp4_0, damp4_n, nord_n, mask0 = damp_k
-    fx0, fy0 = deln_flux(0, damp4_0, q_x, fx, fy, grid, topo, mass=mass)
     if nord_n == 0:
-        return fx0, fy0
-    fxn, fyn = deln_flux(nord_n, damp4_n, q_x, fx, fy, grid, topo, mass=mass)
-    return jnp.where(mask0, fx0, fxn), jnp.where(mask0, fy0, fyn)
+        return deln_flux(0, damp4_0, q_x, fx, fy, grid, topo, mass=mass)
+    k0, mixed = mask_band(mask0)
+    if k0 == 0:
+        return deln_flux(nord_n, damp4_n, q_x, fx, fy, grid, topo, mass=mass)
+    mA = None if mass is None else mass[:k0]
+    fxA, fyA = deln_flux(0, damp4_0[:k0], q_x[:k0], fx[:k0], fy[:k0],
+                         grid, topo, mass=mA)
+    if mixed:
+        fxn, fyn = deln_flux(nord_n, damp4_n[:k0], q_x[:k0], fx[:k0],
+                             fy[:k0], grid, topo, mass=mA)
+        fxA = jnp.where(mask0[:k0], fxA, fxn)
+        fyA = jnp.where(mask0[:k0], fyA, fyn)
+    if k0 == q_x.shape[0]:
+        return fxA, fyA
+    mB = None if mass is None else mass[k0:]
+    fxB, fyB = deln_flux(nord_n, damp4_n[k0:], q_x[k0:], fx[k0:], fy[k0:],
+                         grid, topo, mass=mB)
+    return (jnp.concatenate([fxA, fxB], axis=0),
+            jnp.concatenate([fyA, fyB], axis=0))
 
 
 def _dx_flux(d2, del6_v, sign):
