@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from .. import NG
 from ..constants import CP as CP_AIR
-from ..core.freeze import fabs, fbool, fmax, fmin, fsign_mul
+from ..core.freeze import fabs, fbool, fmax, fmin, fscan, fsign_mul
 from ..ops.a2b_edge import a2b_ord2, a2b_ord4
 from ..ops.d_sw import d_sw
 from ..ops.sw_core import F2P, SL, c_sw
@@ -156,6 +156,109 @@ def one_grad_p(u, v, pk, gz, divg2, dt, grid, npx, ptop, akap, d_ext):
         )
     )
     return u_new, v_new
+
+
+def grad1_p_update(u, v, pk, gz, divg2, du, dv, dt, grid, npx, ptop, akap,
+                   beta_d):
+    """Hydrostatic beta>0 off-centered pressure gradient
+    (grad1_p_update, dyn_core_nlm.F90:1781-1872): apply beta_d of the
+    PREVIOUS substep's gradient (du/dv, zero-initialized each dyn_core
+    call; beta_d==0 on the first substep, :367-374) plus (1-beta_d) of the
+    current gradient; returns the updated winds AND the stored current
+    gradients for the next substep."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    rdx = grid["rdx"]
+    rdy = grid["rdy"]
+    jb = u.shape[-2]
+    ptk = ptop ** akap
+    alpha = 1.0 - beta_d
+
+    top = jnp.full(pk.shape[1:-2] + (jb, jb), ptk, pk.dtype)[None]
+    pk_b = jnp.concatenate([top, a2b_ord4(pk[1:], grid)], axis=0)
+    gz_b = a2b_ord4(gz, grid)
+    wk = pk_b[1:] - pk_b[:-1]
+
+    bs = SL(1, npx)
+    cs = SL(1, n)
+    b0 = slice(p(1), p(n) + 1)
+    b1 = slice(p(2), p(npx) + 1)
+    du_new = (dt / (wk[..., bs, b0] + wk[..., bs, b1]) * (
+        (gz_b[1:][..., bs, b0] - gz_b[:-1][..., bs, b1])
+        * (pk_b[1:][..., bs, b1] - pk_b[:-1][..., bs, b0])
+        + (gz_b[:-1][..., bs, b0] - gz_b[1:][..., bs, b1])
+        * (pk_b[1:][..., bs, b0] - pk_b[:-1][..., bs, b1])))
+    wk2 = divg2[..., bs, p(1):p(n) + 1] - divg2[..., bs, p(2):p(npx) + 1]
+    u_new = u.at[..., bs, cs].set(
+        (u[..., bs, cs] + beta_d * du + wk2 + alpha * du_new)
+        * rdx[..., bs, cs])
+
+    r0 = slice(p(1), p(n) + 1)
+    r1 = slice(p(2), p(npy) + 1)
+    dv_new = (dt / (wk[..., r0, bs] + wk[..., r1, bs]) * (
+        (gz_b[1:][..., r0, bs] - gz_b[:-1][..., r1, bs])
+        * (pk_b[1:][..., r1, bs] - pk_b[:-1][..., r0, bs])
+        + (gz_b[:-1][..., r0, bs] - gz_b[1:][..., r1, bs])
+        * (pk_b[1:][..., r0, bs] - pk_b[:-1][..., r1, bs])))
+    wk1 = divg2[..., p(1):p(n) + 1, bs] - divg2[..., p(2):p(npy) + 1, bs]
+    v_new = v.at[..., cs, bs].set(
+        (v[..., cs, bs] + beta_d * dv + wk1 + alpha * dv_new)
+        * rdy[..., cs, bs])
+    return u_new, v_new, du_new, dv_new
+
+
+def split_p_grad(u, v, pp, gz, delp, pk3, du, dv, dt, grid, npx, ptop, akap,
+                 beta_d):
+    """Nonhydrostatic beta>0 off-centered pressure gradient
+    (split_p_grad, dyn_core_nlm.F90:1531-1641, use_logp=.false.): the
+    HYDROSTATIC component is off-centered with the previous substep's
+    stored gradient (du/dv), the nonhydrostatic perturbation-pressure
+    component is applied fully each substep."""
+    p = F2P
+    n = npx - 1
+    npy = npx
+    rdx = grid["rdx"]
+    rdy = grid["rdy"]
+    jb = u.shape[-2]
+    ptk = ptop ** akap
+    alpha = 1.0 - beta_d
+
+    top_pk = jnp.full(pk3.shape[1:-2] + (jb, jb), ptk, pk3.dtype)[None]
+    pk_b = jnp.concatenate([top_pk, a2b_ord4(pk3[1:], grid)], axis=0)
+    pp_b = jnp.concatenate([jnp.zeros_like(top_pk),
+                            a2b_ord4(pp[1:], grid)], axis=0)
+    gz_b = a2b_ord4(gz, grid)
+    dp_b = a2b_ord4(delp, grid)
+    wk = pk_b[1:] - pk_b[:-1]
+
+    bs = SL(1, npx)
+    cs = SL(1, n)
+    b0 = slice(p(1), p(n) + 1)
+    b1 = slice(p(2), p(npx) + 1)
+
+    def grad(f_b, den, r0, c0, r1, c1):
+        return dt / (den[..., r0, c0] + den[..., r1, c1]) * (
+            (gz_b[1:][..., r0, c0] - gz_b[:-1][..., r1, c1])
+            * (f_b[1:][..., r1, c1] - f_b[:-1][..., r0, c0])
+            + (gz_b[:-1][..., r0, c0] - gz_b[1:][..., r1, c1])
+            * (f_b[1:][..., r0, c0] - f_b[:-1][..., r1, c1])
+        )
+
+    du_new = grad(pk_b, wk, bs, b0, bs, b1)
+    dun = grad(pp_b, dp_b, bs, b0, bs, b1)
+    u_new = u.at[..., bs, cs].set(
+        (u[..., bs, cs] + beta_d * du + alpha * du_new + dun)
+        * rdx[..., bs, cs])
+
+    r0 = slice(p(1), p(n) + 1)
+    r1 = slice(p(2), p(npy) + 1)
+    dv_new = grad(pk_b, wk, r0, bs, r1, bs)
+    dvn = grad(pp_b, dp_b, r0, bs, r1, bs)
+    v_new = v.at[..., cs, bs].set(
+        (v[..., cs, bs] + beta_d * dv + alpha * dv_new + dvn)
+        * rdy[..., cs, bs])
+    return u_new, v_new, du_new, dv_new
 
 
 def nh_p_grad(u, v, pp, gz, delp, pk3, dt, grid, npx, ptop, akap):
@@ -322,7 +425,9 @@ def _kcoef(cfg, npz, dtype):
         return jnp.asarray(x, dtype).reshape(npz, 1, 1, 1)
 
     def m(x):
-        return jnp.asarray(x).reshape(npz, 1, 1, 1)
+        # STATIC numpy masks: consumers split the level batch statically at
+        # the sponge band edge instead of double-evaluating + masking
+        return np.asarray(x).reshape(npz, 1, 1, 1)
 
     nv = min(2, cfg.nord)
     return dict(
@@ -391,7 +496,8 @@ def _kcoef_pert(cfg, npz, dtype):
         return jnp.asarray(x, dtype).reshape(npz, 1, 1, 1)
 
     def m(x):
-        return jnp.asarray(x).reshape(npz, 1, 1, 1)
+        # STATIC numpy masks (see _kcoef)
+        return np.asarray(x).reshape(npz, 1, 1, 1)
 
     return dict(
         nord=cfg.nord_pert, nord_v=nv, nord_t=nv, nord_w=nv,
@@ -406,15 +512,19 @@ def _kcoef_pert(cfg, npz, dtype):
 
 def _sponge_hords(cfg, npz, mains, ks_val):
     """Per-variable advection options with the pert-sponge-layer override
-    (dyn_core_tlm.F90:861-875): k <= n_sponge_pert-1 uses `ks_val`."""
-    import numpy as np
+    (dyn_core_tlm.F90:861-875): k <= n_sponge_pert-1 uses `ks_val`.
 
-    mask = jnp.asarray(
-        (np.arange(npz) + 1 <= cfg.n_sponge_pert - 1).reshape(npz, 1, 1, 1)
-    )
+    The override band is a STATIC prefix of the level axis, so it is carried
+    as `(main, ks_val, ksp)` with ksp the number of sponge levels: the
+    advection operators split the level batch at ksp and run each scheme
+    once on its own band — no double evaluation (the per-k re-dispatch of
+    the reference costs nothing extra there; a masked single-trace blend
+    would evaluate BOTH schemes on every level)."""
+    ksp = min(max(cfg.n_sponge_pert - 1, 0), npz)
+
     def h(main):
-        if cfg.n_sponge_pert > 1 and main != ks_val:
-            return (main, ks_val, mask)
+        if ksp > 0 and main != ks_val:
+            return (main, ks_val, ksp)
         return main
     return dict(hord_mt=h(mains[0]), hord_vt=h(mains[1]),
                 hord_tm=h(mains[2]), hord_dp=h(mains[3]))
@@ -457,6 +567,14 @@ def acoustic_carry(state, cfg, npz, dtype):
         pk=jnp.zeros((npz + 1,) + lead[1:] + (jc, jc), dtype),
         pkz=jnp.zeros(lead + (jc, jc), dtype),
     )
+    if cfg.beta > 0.0:
+        # previous-substep p-gradient store + substep counter for the
+        # beta off-centering (du/dv, dyn_core_nlm.F90:254-258); zeroed at
+        # every dyn_core entry — with beta_d=0 on substep 1 this exactly
+        # reproduces the reference's it==1 reset (:367-374)
+        out["du"] = jnp.zeros(lead + (cfg.npx, n), dtype)
+        out["dv"] = jnp.zeros(lead + (n, cfg.npx), dtype)
+        out["itc"] = jnp.zeros((), dtype)
     if not cfg.hydrostatic:
         # interface heights from delz, zh(km+1)=zs (dyn_core_nlm.F90:323-352,
         # it==1 branch); zh persists across substeps (update_dz_d output)
@@ -469,6 +587,61 @@ def acoustic_carry(state, cfg, npz, dtype):
         out["delz"] = state["delz"]
         out["ws"] = jnp.zeros(lead[1:] + (jc, jc), dtype)
     return out
+
+
+def mix_dp(delp, pt, w, dp_ref, hydrostatic):
+    """Thin-layer delp mixing (mix_dp, dyn_core_nlm.F90:1875-1952).
+
+    Runs after d_sw inside every acoustic substep when `fill_dp` is on
+    (dyn_core_nlm.F90:697): any layer thinner than 1% of its reference
+    thickness dpmin(k) = 0.01*(ak(k+1)-ak(k)+(bk(k+1)-bk(k))*1e5) borrows
+    mass dp from the layer BELOW, mixing pt (and w when nonhydrostatic)
+    conservatively; the bottom layer borrows from the (already-updated)
+    layer above.  The downward pass is sequential in k (layer k's
+    borrowing thins layer k+1 before it is examined) — expressed as a
+    frozen-branch fscan so the TLM/ADM replay identical mixing decisions
+    (the reference's MIX_DP_TLM / PUSHCONTROL, dyn_core_tlm.F90:4385).
+
+    Whole padded arrays are processed (CG=.false. compute-domain semantics:
+    halo lanes are refreshed immediately after in stage_c)."""
+    import numpy as np
+
+    npz = delp.shape[0]
+    if npz < 2:
+        return delp, pt, w
+    dpmin = jnp.asarray(0.01 * np.asarray(dp_ref), delp.dtype)
+    nh = (w is not None) and (not hydrostatic)
+    wz = w if nh else jnp.zeros_like(pt)
+
+    def body(carry, x):
+        delp_cur = carry  # effective delp at layer k (post upstream borrow)
+        dpm, delp_next, pt_k, pt_next, w_k, w_next = x
+        need = fbool(delp_cur < dpm)
+        dp = jnp.where(need, dpm - delp_cur, 0.0)
+        pt_new = jnp.where(need, (pt_k * delp_cur + pt_next * dp) / dpm,
+                           pt_k)
+        w_new = jnp.where(need, (w_k * delp_cur + w_next * dp) / dpm, w_k)
+        delp_new = jnp.where(need, dpm, delp_cur)
+        return delp_next - dp, (delp_new, pt_new, w_new)
+
+    xs = (dpmin[:-1], delp[1:], pt[:-1], pt[1:], wz[:-1], wz[1:])
+    last, (delp_o, pt_o, w_o) = fscan(body, delp[0], xs)
+
+    # bottom layer: borrow from the layer above (its already-mixed values)
+    dpm_b = dpmin[-1]
+    need_b = fbool(last < dpm_b)
+    dp_b = jnp.where(need_b, dpm_b - last, 0.0)
+    pt_b = jnp.where(need_b, (pt[-1] * last + pt_o[-1] * dp_b) / dpm_b,
+                     pt[-1])
+    w_b = jnp.where(need_b, (wz[-1] * last + w_o[-1] * dp_b) / dpm_b,
+                    wz[-1])
+    delp_b = jnp.where(need_b, dpm_b, last)
+    delp_o = delp_o.at[-1].add(-dp_b)
+    delp_out = jnp.concatenate([delp_o, delp_b[None]], axis=0)
+    pt_out = jnp.concatenate([pt_o, pt_b[None]], axis=0)
+    if not nh:
+        return delp_out, pt_out, w
+    return delp_out, pt_out, jnp.concatenate([w_o, w_b[None]], axis=0)
 
 
 def _rayleigh_fast_factor(cfg, npz, dtype, dt, ptop, pm):
@@ -579,6 +752,10 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                   divgd=divgd, ua=ua, va=va,
                   mfx=c["mfx"], mfy=c["mfy"], cx=c["cx"], cy=c["cy"],
                   heat_source=c["heat_source"])
+        if cfg.beta > 0.0:
+            # off-centered p-gradient state (previous substep's gradient +
+            # substep counter; dyn_core_nlm.F90:254-258, 367-374)
+            ab["du"], ab["dv"], ab["itc"] = c["du"], c["dv"], c["itc"]
         if not cfg.hydrostatic:
             ab["zh"] = c["zh"]
             ab["delz"] = c["delz"]
@@ -611,6 +788,14 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                     kcoef_p, cfg.hydrostatic,
                 )
             r = mix_primal(r, r_p)
+        if cfg.fill_dp:
+            # thin-layer delp mixing between d_sw and the delp/pt halo
+            # refresh (dyn_core_nlm.F90:697)
+            w_in = r["w"] if not cfg.hydrostatic else None
+            dmix, tmix, wmix = mix_dp(r["delp"], r["pt"], w_in, dp_ref,
+                                      cfg.hydrostatic)
+            r = dict(r, delp=dmix, pt=tmix,
+                     **({"w": wmix} if w_in is not None else {}))
         bc = dict(
             delp=r["delp"], pt=r["pt"], u=r["u"], v=r["v"],
             w=(r["w"] if not cfg.hydrostatic else ab["w"]),
@@ -619,6 +804,8 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             heat_source=ab["heat_source"] + r["heat_source"],
             uc=ab["uc"], vc=ab["vc"],
         )
+        if cfg.beta > 0.0:
+            bc["du"], bc["dv"], bc["itc"] = ab["du"], ab["dv"], ab["itc"]
         if not cfg.hydrostatic:
             bc["zh"] = ab["zh"]
             bc["delz"] = ab["delz"]
@@ -649,16 +836,29 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
         else:
             divg2 = jnp.zeros(lead[1:] + (jb, jb), dtype)
 
+        if cfg.beta > 0.0:
+            # first substep of each dyn_core call applies no off-centering
+            # (beta_d=0, dyn_core_nlm.F90:367-374)
+            beta_d = jnp.where(bc["itc"] == 0.0, 0.0,
+                               jnp.asarray(cfg.beta, dtype))
+
         if cfg.hydrostatic:
             with scope("geopk_d"):
                 pe, peln, pkc, gz, pkz = geopk(ptop, delp, pt, phis, akap)
 
-            with scope("one_grad_p"):
-                u, v = one_grad_p(
-                    u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap,
-                    cfg.d_ext
-                )
-            extra = {}
+            if cfg.beta > 0.0:
+                with scope("grad1_p_update"):
+                    u, v, du_n, dv_n = grad1_p_update(
+                        u, v, pkc, gz, divg2, bc["du"], bc["dv"], dt, grid,
+                        npx, ptop, akap, beta_d)
+                extra = dict(du=du_n, dv=dv_n, itc=bc["itc"] + 1.0)
+            else:
+                with scope("one_grad_p"):
+                    u, v = one_grad_p(
+                        u, v, pkc, gz, divg2, dt, grid, npx, ptop, akap,
+                        cfg.d_ext
+                    )
+                extra = {}
         else:
             # NH D-stage (dyn_core_nlm.F90:762-880): advect zh with the
             # d_sw fluxes, semi-implicit solve for w/delz and the NH
@@ -689,10 +889,18 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             pkz = jnp.exp(k1k * jnp.log(jnp.maximum(
                 rrg * delp / jnp.minimum(delz, -1e-2)
                 * jnp.maximum(pt, 1e-10), 1e-30)))
-            with scope("nh_p_grad"):
-                u, v = nh_p_grad(u, v, pp, gz, delp, pkc, dt, grid, npx,
-                                 ptop, akap)
-            extra = dict(zh=zh2, delz=delz, ws=ws)
+            if cfg.beta > 0.0:
+                with scope("split_p_grad"):
+                    u, v, du_n, dv_n = split_p_grad(
+                        u, v, pp, gz, delp, pkc, bc["du"], bc["dv"], dt,
+                        grid, npx, ptop, akap, beta_d)
+                extra = dict(zh=zh2, delz=delz, ws=ws,
+                             du=du_n, dv=dv_n, itc=bc["itc"] + 1.0)
+            else:
+                with scope("nh_p_grad"):
+                    u, v = nh_p_grad(u, v, pp, gz, delp, pkc, dt, grid, npx,
+                                     ptop, akap)
+                extra = dict(zh=zh2, delz=delz, ws=ws)
 
         if cfg.rayleigh_fast and cfg.tau > 0.0 and pm is not None:
             rff = _rayleigh_fast_factor(cfg, npz, dtype, abs(dt), ptop, pm)
