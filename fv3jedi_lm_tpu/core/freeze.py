@@ -106,9 +106,31 @@ def fbool(pred):
     return _unpack(entry, pred)
 
 
-def fint(idx):
-    """Freeze an integer decision array (e.g. searchsorted output)."""
-    return fbool(idx)
+def fint(idx, maxval=None):
+    """Freeze an integer decision array (e.g. searchsorted output).
+
+    `maxval` (STATIC upper bound on the values, e.g. npz for a remap level
+    index) selects compact tape storage — uint8/uint16 instead of int32.
+    The raw int32 remap indices were the dominant post-stage tape entries
+    at c96L72 (16 MB each, ~490 MB per step) before compaction."""
+    if _state is None:
+        return idx
+    if _state[0] == "rec":
+        ent = idx
+        if (maxval is not None and getattr(idx, "dtype", None) is not None
+                and jnp.issubdtype(idx.dtype, jnp.integer)):
+            if maxval <= 255:
+                ent = idx.astype(jnp.uint8)
+            elif maxval <= 65535:
+                ent = idx.astype(jnp.uint16)
+        _state[1].append(ent)
+        return idx
+    tape, cur = _state[1], _state[2]
+    entry = tape[cur[0]]
+    cur[0] += 1
+    if getattr(entry, "dtype", None) != getattr(idx, "dtype", None):
+        entry = entry.astype(idx.dtype)
+    return entry
 
 
 def fwhere(pred, a, b):

@@ -338,7 +338,7 @@ def remap_column(pe1, pe2, a1, a2, a3, a4):
         [jnp.zeros_like(a1[:1]), jnp.cumsum(a1 * dp1, axis=0)], axis=0
     )
 
-    idx = fint(_locate(pe1[1:-1], pe2))                  # (kn+1, ncol)
+    idx = fint(_locate(pe1[1:-1], pe2), maxval=km)       # (kn+1, ncol)
     pe1_l = jnp.take_along_axis(pe1, idx, axis=0)
     dp_l = jnp.take_along_axis(dp1, idx, axis=0)
     c_l = jnp.take_along_axis(cums, idx, axis=0)

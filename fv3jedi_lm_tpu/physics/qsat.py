@@ -105,7 +105,8 @@ def dqsat(temp, plo_pa, estblx=None):
     pp = plo_pa
     ti = fclip(temp, TMINTBL, TMAXTBL - 0.001)
     tt = (ti - TMINTBL) * DEGSUBS + 1.0
-    it = fint(jnp.floor(tt).astype(jnp.int32))   # Fortran 1-based index
+    # table has (TMAXTBL-TMINTBL)*DEGSUBS+1 = 18301 entries -> uint16 tape
+    it = fint(jnp.floor(tt).astype(jnp.int32), maxval=65535)
     dqq = tbl[it] - tbl[it - 1]                  # ESTBLX(IT+1)-ESTBLX(IT)
     qq = (tt - it) * dqq + tbl[it - 1]
     sat = fbool(pp <= qq)
