@@ -389,6 +389,12 @@ class LinearModel:
             # tracer) keeps its stepped value
             if f in traj and f not in out:
                 out[f] = traj[f]
+        from . import debug
+        if debug.enabled():
+            # reference prt_maxmin/range_check debug surface
+            # (fv_diagnostics_nlm.F90:79-81), FV3LM_DEBUG=1|raise
+            debug.check_state({k: out[k] for k in self.prog_3d},
+                              label="step_nl.")
         return out
 
     def step_tl(self, traj: dict, pert: dict) -> dict:

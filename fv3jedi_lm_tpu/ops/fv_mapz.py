@@ -384,14 +384,109 @@ def map1_q2(pe1, q1, pe2, kord, q_min=0.0):
     return map1_ppm(pe1, q1, None, pe2, 0, kord, q_min=q_min)
 
 
-def mapn_tracer(pe1, q_stack, pe2, kord, q_min=0.0):
-    """Multi-tracer remap (mapn_tracer, fv_mapz_nlm.F90:1425-1539): all
-    tracers share the coordinate change; the reference's per-tracer
-    profile fits become one batched vmap here.  q_stack: (nq, km, ...).
-    The optional `fillz` pass is omitted — the LM hardwires fill=.false.
-    (fv3jedi_lm_dynamics_mod.F90:148)."""
-    import jax
+def fillz(q, dp):
+    """Vertical borrowing fix for negative tracers (fillz,
+    fv_fill_nlm.F90:32-135, non-DEV_GFS_PHYS branch).
 
-    return jax.vmap(
-        lambda q: map1_ppm(pe1, q, None, pe2, 0, kord, q_min=q_min)
-    )(q_stack)
+    q/dp: (km, ncol).  Top layer pushes its deficit down; interior layers
+    borrow from above then below (sequential in k — expressed as a
+    frozen-branch fscan); the bottom layer borrows from above; columns
+    that needed any interior/bottom fix get the final non-local
+    renormalization over k=2..km."""
+    km = q.shape[0]
+    if km < 3:
+        return fmax(q, 0.0)
+
+    # top layer (:68-74)
+    neg0 = fbool(q[0] < 0.0)
+    q1n = jnp.where(neg0, q[1] + q[0] * dp[0] / dp[1], q[1])
+    q0n = jnp.where(neg0, 0.0, q[0])
+    q = jnp.concatenate([q0n[None], q1n[None], q[2:]], axis=0)
+
+    # interior k=2..km-1 Fortran (:76-96), sequential downward window
+    def body(c, x):
+        qm1, q0, zfix = c
+        q1o, dpm1, dp0, dpp1 = x
+        neg = fbool(q0 < 0.0)
+        up = fbool(qm1 > 0.0)
+        dq = fmin(qm1 * dpm1, -q0 * dp0)
+        do_up = neg & up
+        qm1 = jnp.where(do_up, qm1 - dq / dpm1, qm1)
+        q0 = jnp.where(do_up, q0 + dq / dp0, q0)
+        still = fbool(q0 < 0.0)
+        dn = fbool(q1o > 0.0)
+        dq2 = fmin(q1o * dpp1, -q0 * dp0)
+        do_dn = neg & still & dn
+        q1o = jnp.where(do_dn, q1o - dq2 / dpp1, q1o)
+        q0 = jnp.where(do_dn, q0 + dq2 / dp0, q0)
+        return (q0, q1o, zfix | neg), qm1
+
+    from ..core.freeze import fscan
+
+    xs = (q[2:], dp[0:km - 2], dp[1:km - 1], dp[2:])
+    (q_km2, q_km1, zfix), fixed = fscan(
+        body, (q[0], q[1], jnp.zeros_like(q[0], dtype=bool)), xs)
+
+    # bottom layer (:98-110)
+    negb = fbool(q_km1 < 0.0) & fbool(q_km2 > 0.0)
+    dup = fmin(q_km2 * dp[km - 2], -q_km1 * dp[km - 1])
+    q_km2 = jnp.where(negb, q_km2 - dup / dp[km - 2], q_km2)
+    q_km1 = jnp.where(negb, q_km1 + dup / dp[km - 1], q_km1)
+    zfix = zfix | negb
+    q = jnp.concatenate([fixed, q_km2[None], q_km1[None]], axis=0)
+
+    # final non-local renormalization over k=2..km (:111-133)
+    dm = q[1:] * dp[1:]
+    sum0 = jnp.sum(dm, axis=0)
+    sum1 = jnp.sum(fmax(dm, 0.0), axis=0)
+    do_fix = zfix & fbool(sum0 > 0.0)
+    fac = sum0 / jnp.where(do_fix, jnp.where(sum1 == 0.0, 1.0, sum1), 1.0)
+    q_fixed = fmax(0.0, fac[None] * dm / dp[1:])
+    q_lower = jnp.where(do_fix[None], q_fixed, q[1:])
+    return jnp.concatenate([q[:1], q_lower], axis=0)
+
+
+def mapn_tracer(pe1, q_stack, pe2, kord, q_min=0.0, fill=False):
+    """Multi-tracer remap (mapn_tracer, fv_mapz_nlm.F90:1425-1539): the
+    coordinate-change geometry (layer-location indices, interpolation
+    weights) is computed ONCE and shared by all tracers, exactly as the
+    reference's joint column loop shares k0/l/pl/pr across iq — only the
+    per-tracer PPM profile fits differ.  q_stack: (nq, km, ...); kord may
+    be one int or a per-tracer sequence.  `fill` enables the fillz
+    consistency pass over the full tracer set (the LM hardwires
+    fill=.false., fv3jedi_lm_dynamics_mod.F90:148)."""
+    nq, km = q_stack.shape[0], q_stack.shape[1]
+    shp = q_stack.shape[1:]
+    q1f = q_stack.reshape(nq, km, -1)
+    pe1f = pe1.reshape(km + 1, -1)
+    pe2f = pe2.reshape(km + 1, -1)
+    dp1 = pe1f[1:] - pe1f[:-1]
+    kords = [kord] * nq if isinstance(kord, int) else list(kord)
+
+    # shared geometry (one _locate for all tracers)
+    idx = fint(_locate(pe1f[1:-1], pe2f), maxval=km)
+    pe1_l = jnp.take_along_axis(pe1f, idx, axis=0)
+    dp_l = jnp.take_along_axis(dp1, idx, axis=0)
+    xi = fclip((pe2f - pe1_l) / dp_l, 0.0, 1.0)
+    dp2 = pe2f[1:] - pe2f[:-1]
+
+    outs = []
+    for iq in range(nq):
+        a1 = q1f[iq]
+        a2, a3, a4 = cs_profile(jnp.zeros_like(a1[0]), a1, dp1, 0, kords[iq])
+        cums = jnp.concatenate(
+            [jnp.zeros_like(a1[:1]), jnp.cumsum(a1 * dp1, axis=0)], axis=0)
+        a2_l = jnp.take_along_axis(a2, idx, axis=0)
+        a3_l = jnp.take_along_axis(a3, idx, axis=0)
+        a4_l = jnp.take_along_axis(a4, idx, axis=0)
+        c_l = jnp.take_along_axis(cums, idx, axis=0)
+        b = a3_l - a2_l + a4_l
+        f_int = a2_l * xi + 0.5 * b * xi ** 2 - a4_l * R3 * xi ** 3
+        m = c_l + dp_l * f_int
+        outs.append((m[1:] - m[:-1]) / dp2)
+    out = jnp.stack(outs, axis=0)
+    if fill:
+        import jax
+
+        out = jax.vmap(fillz, in_axes=(0, None))(out, dp2)
+    return fmax(out, q_min).reshape((nq,) + shp)

@@ -180,10 +180,232 @@ def _mpbl_depth(t, q, u, v, zfull, pfull, b_star, u_star, p):
     return out["ipbl"], out["ztop"]
 
 
+def _radml_depth(svp, kct, zt, slvcp, zfull, zhalf, critjump=0.3):
+    """radml_depth (bldriver.F90:1180-1253): descend a cloud-top parcel of
+    liquid static energy svp from layer kct until it is warmer than the
+    environment (or a stable jump > critjump is crossed); returns
+    (zradbase, zradml).  Whole-array masked scan (per-column kct)."""
+    npz = slvcp.shape[0]
+    S = slvcp.shape[1:]
+    entrate = 0.2 / 200.0
+
+    h1_0 = _take_k(zfull, kct)
+    t1_0 = _take_k(slvcp, kct)
+    # parcel already warmer than cloud top -> zb = h1, zml = 0 (:1211-1215)
+    pre = t1_0 < svp
+    carry0 = dict(
+        svpar=svp, h1=h1_0, t1=t1_0,
+        zb=jnp.where(pre, h1_0, jnp.zeros(S, slvcp.dtype)),
+        zml=jnp.zeros(S, slvcp.dtype),
+        done=pre,
+    )
+    idx = np.arange(1, npz)
+    xs = (slvcp[1:], zfull[1:], zhalf[1:npz], jnp.asarray(idx))
+
+    def body(c, x):
+        t2, h2, zh_k, j = x
+        active = (j > kct) & ~c["done"]
+        # exit 1: parcel warmer than env at this level (:1222-1231)
+        hit = t2 < c["svpar"]
+        interp = jnp.abs(c["t1"] - t2) > 0.2
+        zb1 = jnp.where(
+            interp,
+            jnp.maximum(h2 + (c["h1"] - h2) * (c["svpar"] - t2)
+                        / jnp.where(interp, c["t1"] - t2, 1.0), 0.0),
+            h2)
+        # exit 2: stable jump (:1234-1238), only for j > kct+1
+        jump = ((c["t1"] - t2) > critjump) & (j > kct + 1)
+        zb2 = zh_k
+        take1 = active & hit
+        take2 = active & ~hit & jump
+        zb_new = jnp.where(take1, zb1, jnp.where(take2, zb2, c["zb"]))
+        zml_new = jnp.where(take1 | take2, zt - zb_new, c["zml"])
+        # entrain and step down (:1241-1246)
+        entfr = jnp.minimum(entrate * (c["h1"] - h2), 1.0)
+        svpar_new = c["svpar"] + entfr * (t2 - c["svpar"])
+        cont = active & ~hit & ~jump
+        return dict(
+            svpar=jnp.where(cont, svpar_new, c["svpar"]),
+            h1=jnp.where(cont, h2, c["h1"]),
+            t1=jnp.where(cont, t2, c["t1"]),
+            zb=zb_new, zml=zml_new,
+            done=c["done"] | take1 | take2,
+        ), None
+
+    out, _ = lax.scan(body, carry0, xs)
+    # fallthrough: zb = 0, zml = zt (:1250-1251)
+    zb = jnp.where(out["done"], out["zb"], 0.0)
+    zml = jnp.where(out["done"], out["zml"], zt)
+    return zb, zml
+
+
+def _lock_rad(t, qv, qc, hleff, slv, zfull, pf, phalf, zhalf, density,
+              ipbl, zsml, conv, k_sfc, k_t_entr, k_m_entr, p, tdtlw):
+    """Radiatively/buoyancy-reversal driven cloud-top mixing
+    (bldriver.F90:852-1075, the RADLW_DEP=1 branch; the reference LM
+    hardwires RADLW_DEP=0, fv3jedi_lm_turbulence_mod.F90:107, because the
+    LW heating rate is not in its trajectory — here it is available behind
+    params['radlw_dep']=1 with traj field `tdtlw`): finds the lowest
+    stratocumulus top below zcldtopmax, measures the cloud-top LW flux
+    divergence and the buoyancy-reversal mixing fraction chis, runs
+    radml_depth for the mixed-layer base, and adds the cloud-top
+    entrainment + interior K profiles.  Returns (k_t_entr, k_m_entr).
+
+    k_sfc is the surface-driven entrainment coefficient added at slot ipbl
+    by the caller (needed for the zradbase<zsml suppression, :1060-1068).
+    """
+    npz = t.shape[0]
+    kidx = jnp.arange(npz).reshape((npz,) + (1,) * (t.ndim - 1))
+    zcldtopmax = 3.0e3
+
+    dqs_all, _ = dqsat(t, pf)
+
+    # kmax: highest level below zcldtopmax (:853-859)
+    below = zhalf[:npz] < zcldtopmax
+    kmax = jnp.argmax(below, axis=0).astype(jnp.int32)
+
+    # cloud top: LOWEST boundary qc[k]>=crit, qc[k-1]<crit, stable (:862-871)
+    cond = jnp.concatenate([
+        jnp.zeros_like(qc[:1], dtype=bool),
+        (qc[1:] >= QLCRIT) & (qc[:-1] < QLCRIT)
+        & ((slv[:-1] - slv[1:]) > 0.0)], axis=0)
+    cond = cond & (kidx >= kmax[None])
+    found = jnp.any(cond, axis=0)
+    kct = (npz - 1) - jnp.argmax(cond[::-1], axis=0).astype(jnp.int32)
+    kct = jnp.where(found, kct, 1)          # safe placeholder when not found
+
+    # thin diffusive veil: look one level down (:877-881)
+    kct2 = jnp.minimum(kct + 1, npz - 1)
+    qct = _take_k(qc, kct)
+    veil = (qct < 10.0 * QLCRIT) & (_take_k(qc, kct2) >= 10.0 * qct)
+    kct = jnp.where(veil, kct2, kct)
+
+    # cloud bottom (:883-891); sentinel npz -> zhalf[npz] = 0 (surface)
+    condb = jnp.concatenate([
+        jnp.zeros_like(qc[:1], dtype=bool),
+        (qc[1:] < QLCRIT) & (qc[:-1] >= QLCRIT)], axis=0)
+    condb = condb & (kidx >= kct[None])
+    foundb = jnp.any(condb, axis=0)
+    kcb = (npz - 1) - jnp.argmax(condb[::-1], axis=0).astype(jnp.int32)
+    kcb = jnp.where(foundb, kcb, npz)
+    active = found & (kct != kcb)
+
+    # cloud-top LW flux divergence (:897-904)
+    in_win = (kidx >= kct[None]) & (kidx <= jnp.minimum(kct + 2, npz - 1)[None])
+    maxradf = jnp.max(jnp.where(in_win, -tdtlw, -jnp.inf), axis=0)
+    maxradf = maxradf * CP * (
+        (_take_k(phalf, kct + 1) - _take_k(phalf, kct)) / GRAV)
+    maxradf = jnp.maximum(maxradf, 0.0)
+
+    # buoyancy-reversal mixing fraction chis (:906-929)
+    hlf = _take_k(hleff, kct)
+    slv_t = _take_k(slv, jnp.maximum(kct - 1, 0))
+    slv_c = _take_k(slv, kct)
+    qc_t = _take_k(qc, jnp.maximum(kct - 1, 0))
+    qv_t = _take_k(qv, jnp.maximum(kct - 1, 0))
+    dqs_c = _take_k(dqs_all, kct)
+    tmp1 = (slv_t - hlf * qc_t) - (slv_c - hlf * qct)
+    tmp1 = dqs_c * tmp1 / CP
+    tmp2 = (qv_t + qc_t) - (_take_k(qv, kct) + qct)
+    chis = -qct * (1.0 + hlf * dqs_c / CP)
+    denom = tmp2 - tmp1
+    chis = jnp.where(denom >= 0.0, 0.0,
+                     chis / jnp.where(denom >= 0.0, 1.0, denom))
+    chis = jnp.minimum(chis, 1.0)
+
+    slmix = (1.0 - chis) * (slv_c - hlf * qct) + chis * (slv_t - hlf * qc_t)
+    svpcp = slmix / CP
+    stab = slv_t - slv_c
+    dsiems = (slv_c - slmix) / jnp.where(stab == 0.0, 1.0, stab)
+    dsiems = jnp.clip(dsiems, 0.0, 10.0)
+    zradtop = _take_k(zhalf, kct)
+
+    # radml_depth (:946-965)
+    radperturb = jnp.minimum(maxradf / 100.0, 0.3)
+    svp = svpcp - radperturb
+    slvcp = slv / CP
+    zb_s, zml_s = _radml_depth(svp, kct, zradtop, slvcp, zfull, zhalf)
+    at_bot = kct >= npz - 1
+    zradbase = jnp.where(at_bot, 0.0, zb_s)
+    zradml = jnp.where(at_bot, zradtop, zml_s)
+    zcloud = zradtop - _take_k(zhalf, kcb)
+
+    go = active & (zradml > 0.0)
+
+    # velocity scales (:971-996)
+    zradml_s = jnp.where(go, zradml, 1.0)
+    vrad3 = GRAV * zradml * maxradf / _take_k(density, kct) / slv_c
+    tmp1b = GRAV * jnp.maximum(0.1, (slv_t - slv_c) / CP) / (slv_c / CP)
+    vbr3 = jnp.maximum(tmp1b * zcloud, 0.0) ** 3
+    vbr3 = ABUOY * chis ** 2 * jnp.maximum(dsiems, 0.0) * jnp.sqrt(vbr3)
+    near_top = zradtop > zcldtopmax - 500.0
+    ramp_f = (zcldtopmax - zradtop) / 500.0
+    vrad3 = jnp.maximum(jnp.where(near_top, vrad3 * ramp_f, vrad3), 0.0)
+    vbr3 = jnp.maximum(jnp.where(near_top, vbr3 * ramp_f, vbr3), 0.0)
+    vrad = vrad3 ** (1.0 / 3.0)
+    vbrv = vbr3 ** (1.0 / 3.0)
+
+    tmp2b = (vrad ** 2 + vbrv ** 2) / zradml_s
+    wentr_rad = jnp.minimum(
+        WENTRMAX, p["beta_rad"] * (vrad3 + vbr3) / zradml_s
+        / (tmp1b + tmp2b))
+    # height-dependent fudge factors (:1003-1014)
+    wentr_rad = jnp.where(zradtop < 500.0, 0.0, wentr_rad)
+    wentr_rad = jnp.where((zradtop > 500.0) & (zradtop <= 800.0),
+                          wentr_rad * (zradtop - 500.0) / 300.0, wentr_rad)
+    wentr_rad = jnp.where(zradtop < 2400.0,
+                          wentr_rad * (zradtop / 800.0), 3.0 * wentr_rad)
+
+    zf_t = _take_k(zfull, jnp.maximum(kct - 1, 0))
+    zf_c = _take_k(zfull, kct)
+    k_entr_rad = jnp.minimum(AKMAX, wentr_rad * (zf_t - zf_c))
+
+    at_kct = kidx == kct[None]
+    k_t_entr = k_t_entr + jnp.where(go[None] & at_kct, k_entr_rad[None], 0.0)
+    k_m_entr = k_m_entr + jnp.where(go[None] & at_kct, k_entr_rad[None], 0.0)
+
+    # surface top == radiative top: combined entrainment REPLACES the slot
+    # (:1021-1048)
+    vsurf3, vshear3 = p["_vsurf3"], p["_vshear3"]
+    same = go & conv & (ipbl == kct)
+    tmp2c = ((vbr3 + vrad3 + vsurf3 + vshear3) ** (2.0 / 3.0)) / zradml_s
+    wentr2 = jnp.minimum(
+        WENTRMAX,
+        jnp.maximum(0.0, ((p["beta_surf"] * (vsurf3 + vshear3)
+                           + p["beta_rad"] * (vrad3 + vbr3)) / zradml_s)
+                    / (tmp1b + tmp2c)))
+    k_entr2 = jnp.minimum(AKMAX, wentr2 * (zf_t - zf_c))
+    k_t_entr = jnp.where(same[None] & at_kct, k_entr2[None], k_t_entr)
+    k_m_entr = jnp.where(same[None] & at_kct, k_entr2[None], k_m_entr)
+
+    # interior radiative K profile (:1050-1058)
+    ztmp = jnp.maximum(0.0, (zhalf[:npz] - zradbase[None]) / zradml_s[None])
+    k_int = (p["khradfac"] * KARMAN * (vrad + vbrv)[None] * ztmp
+             * zradml_s[None] * ztmp
+             * jnp.sqrt(jnp.maximum(1.0 - ztmp, 0.0)))
+    k_int = jnp.minimum(k_int, AKMAX)
+    in_int = go[None] & (kidx > kct[None]) & (ztmp > 0.0)
+    k_t_entr = k_t_entr + jnp.where(in_int, k_int, 0.0)
+    k_m_entr = k_m_entr + jnp.where(in_int, k_int * p["prandtlrad"], 0.0)
+
+    # zradbase below the surface mixed layer: cancel the surface
+    # entrainment at ipbl (:1060-1068)
+    suppress = go & (zradbase < zsml) & conv & (ipbl > kct)
+    at_ipbl = kidx == ipbl[None]
+    k_t_entr = k_t_entr - jnp.where(suppress[None] & at_ipbl,
+                                    k_sfc[None], 0.0)
+    k_m_entr = k_m_entr - jnp.where(suppress[None] & at_ipbl,
+                                    k_sfc[None], 0.0)
+    return k_t_entr, k_m_entr
+
+
 def _lock_diff(t, qv, qit, qlt, u, v, zfull, pfull, zhalf, frland,
-               u_star, b_star, kh, km, p):
-    """bldriver.F90:655-1085, surface-driven part (RADLW_DEP=0): Lock et al.
-    convective mixed-layer entrainment diffusivities merged into (kh, km)."""
+               u_star, b_star, kh, km, p, tdtlw=None, phalf_e=None):
+    """bldriver.F90:655-1085: Lock et al. mixed-layer entrainment
+    diffusivities merged into (kh, km) — the surface-driven part always,
+    plus the cloud-top radiative/buoyancy-reversal part when
+    params['radlw_dep']==1 (the reference compiles it but hardwires the
+    flag to 0, fv3jedi_lm_turbulence_mod.F90:107)."""
     npz = t.shape[0]
     kidx = jnp.arange(npz).reshape((npz,) + (1,) * (t.ndim - 1))
 
@@ -253,6 +475,18 @@ def _lock_diff(t, qv, qit, qlt, u, v, zfull, pfull, zhalf, frland,
     k_t_entr = jnp.where(convk, k_t_entr, 0.0)
     k_m_entr = jnp.where(convk, k_m_entr, 0.0)
 
+    if p.get("radlw_dep", 0) == 1:
+        density = pfull / (RGAS * t * (1.0 + VIREPS * qv - qc))
+        if tdtlw is None:
+            tdtlw = jnp.zeros_like(t)
+        k_sfc = jnp.where(conv, k_entr, 0.0)
+        p_rad = dict(p, _vsurf3=jnp.where(conv, vsurf3, 0.0),
+                     _vshear3=vshear3)
+        k_t_entr, k_m_entr = _lock_rad(
+            t, qv, qc, hleff, slv, zfull, pfull, phalf_e,
+            zhalf, density, ipbl, jnp.where(conv, zsml_s, 0.0), conv,
+            k_sfc, k_t_entr, k_m_entr, p_rad, tdtlw)
+
     # merge: diff = max(k_entr, diff) on interior slots 1..npz-1 (:1078-1083)
     interior = (slot >= 1)
     kh_new = kh.at[:npz].set(
@@ -308,7 +542,7 @@ def _orodrag(bkv, u, v, zfull, varflt, phalf, p, dt):
 
 
 def bl_driver(u, v, th, q, phalf, qit, qlt, frland, frocean, varflt,
-              zpbl, cm, ct, cq, ustar, bstar, params, dt):
+              zpbl, cm, ct, cq, ustar, bstar, params, dt, tdtlw=None):
     """BL_DRIVER (bldriver.F90:23-295): returns the LU-ready tridiagonal
     coefficient dict {aks..ckv} plus the updated zpbl diagnostic.
 
@@ -323,7 +557,8 @@ def bl_driver(u, v, th, q, phalf, qit, qlt, frland, frocean, varflt,
     kh, km = _louis_diff(zpbl, zfull, zhalf, pv, u, v, params)
     if params["lock_on"]:
         kh, km = _lock_diff(t, q, qit, qlt, u, v, zfull, pf, zhalf, frland,
-                            ustar, bstar, kh, km, params)
+                            ustar, bstar, kh, km, params,
+                            tdtlw=tdtlw, phalf_e=phalf)
     coeffs, zpbl_new = _tridiag_setup(zfull, rdz, dmi, phalf, tv, ct, cq, cm,
                                       kh, km, params, dt)
     coeffs["bkv"] = _orodrag(coeffs["bkv"], u, v, zfull, varflt, phalf,

@@ -135,6 +135,10 @@ class Turbulence:
             traj["frland"], traj["frocean"], traj["varflt"],
             traj["zpbl"], traj["cm"], traj["ct"], traj["cq"],
             traj["ustar"], traj["bstar"], self.params, dt,
+            # LW heating-rate trajectory for the radlw_dep=1 cloud-top
+            # branch (the reference keeps RADLW local and unused,
+            # bldriver.F90:66-67)
+            tdtlw=traj.get("tdtlw"),
         )
         akv, bkv, ckv = vtrilu(coeffs["akv"], coeffs["bkv"], coeffs["ckv"])
         aks, bks, cks = vtrilu(coeffs["aks"], coeffs["bks"], coeffs["cks"])
