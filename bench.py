@@ -71,10 +71,18 @@ def _run_sub(npx, npz, timeout, mode="fused"):
     the robust fallback)."""
     import subprocess
 
-    env = dict(os.environ, FV3LM_TL="fused",
-               FV3LM_AD="fused" if mode == "fused" else "split")
-    if mode == "split":
-        env["FV3LM_TL"] = "split"
+    tl_ad = {
+        # one program per sweep; the fused reverse-scan AD faults the TPU
+        # worker at npx>=97, so "fused" is only used on smaller rungs
+        "fused": ("fused", "fused"),
+        # fused TL + one fused vjp program per substep (1 + ~10 dispatches)
+        "substep": ("fused", "substep"),
+        # fused TL + per-stage AD programs (~34 dispatches; proven at c96)
+        "mixed": ("fused", "split"),
+        # minimum live memory everywhere
+        "split": ("split", "split"),
+    }[mode]
+    env = dict(os.environ, FV3LM_TL=tl_ad[0], FV3LM_AD=tl_ad[1])
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -107,9 +115,9 @@ def main():
         print("# device probe failed 3x; falling back to CPU case",
               file=sys.stderr)
         plat = "cpu"
-    ladder = ([(97, 72, "fused"), (97, 72, "fused"), (97, 72, "split"),
-               (49, 72, "fused"), (49, 48, "fused"), (25, 32, "fused")]
-              if plat != "cpu" else [(25, 16, "fused")])
+    ladder = ([(97, 72, "substep"), (97, 72, "mixed"), (97, 72, "split"),
+               (49, 72, "substep"), (49, 48, "substep"), (25, 32, "substep")]
+              if plat != "cpu" else [(25, 16, "substep")])
     for i, (npx, npz, mode) in enumerate(ladder):
         if i > 0:
             # cooldown + fresh probe: a crashed case can wedge the tunnel

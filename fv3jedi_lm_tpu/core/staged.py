@@ -396,6 +396,8 @@ class StagedStepper:
     def ad(self, prog, phis, pb, cks, tapes):
         if self.ad_mode == "split":
             return self._ad_split(prog, phis, pb, cks, tapes)
+        if self.ad_mode == "substep":
+            return self._ad_substep(prog, phis, pb, cks, tapes)
         return self._get("ad", self._ad_fn)(prog, phis, cks, tapes, pb)
 
     def _ad_fn(self, prog, phis, cks, tapes, pb):
@@ -434,6 +436,73 @@ class StagedStepper:
             ct_st = jax.vjp(s["pre"], st)[1]((ct_st2, ct_dp1, ct_carry))[0]
         ct_prog = jax.vjp(s["prep"], prog, phis)[1]((ct_st, ct_q))[0]
         return ct_prog
+
+    def _ad_substep(self, prog, phis, pb, cks, tapes):
+        """Middle-ground adjoint: ONE fused vjp program per acoustic
+        substep (6 + 4 dispatches/step instead of the split form's ~34 —
+        each dispatch costs a tunnel round trip), with jax.checkpoint on
+        each of the substep's three stages so live vjp residuals stay at
+        one stage's worth.  Avoids the whole-sweep reverse lax.scan that
+        faults the TPU worker at npx>=97."""
+        s = self._stages
+
+        def sub_vjp_fn(carries, tapes_k, j, phis_p, ct_c):
+            c_j = jax.tree.map(lambda x: x[j], carries)
+            tape_j = self._slice_tape3(tapes_k, j)
+            sa, sb, sc = self._sub_mix.stages
+            ta, tb, tc_ = tape_j
+
+            def rep(c, cn):
+                with freeze.replaying(ta):
+                    ab = jax.checkpoint(sa)(c, cn)
+                with freeze.replaying(tb):
+                    bc = jax.checkpoint(sb)(ab, cn)
+                with freeze.replaying(tc_):
+                    return jax.checkpoint(sc)(bc, cn)
+
+            _, vjp = jax.vjp(rep, self._expand_carry(c_j),
+                             dict(phis=phis_p))
+            d_c, d_cn = vjp(ct_c)
+            return d_c, d_cn["phis"]
+
+        def mk_post_vjp(last):
+            def post_vjp_fn(st2, carry_fin, q, dp1, tape, ct):
+                with freeze.replaying(tape):
+                    _, vjp_post = jax.vjp(
+                        jax.checkpoint(
+                            lambda a, b, c, d: s["post"](a, b, c, d, last,
+                                                         "mixed")),
+                        st2, carry_fin, q, dp1)
+                return vjp_post(ct)
+            return post_vjp_fn
+
+        def pre_vjp_fn(st, ct):
+            return jax.vjp(lambda x: s["pre"](x), st)[1](ct)[0]
+
+        def prep_vjp_fn(prog, phis, ct):
+            return jax.vjp(s["prep"], prog, phis)[1](ct)[0]
+
+        ct_st, ct_q = self._get("adT", lambda pb: s["unpad_T"](pb))(pb)
+        for k in reversed(range(self.k_split)):
+            st, q = cks["pre_in"][k]
+            last = k == self.k_split - 1
+            st2, dp1 = self._pre_fwd(st)
+            ct_st2, ct_carry, ct_q, ct_dp1 = self._get(
+                ("adpost", last), mk_post_vjp(last))(
+                st2, cks["carry_fin"][k], q, dp1,
+                tapes["post"][k], (ct_st, ct_q))
+            phis_p = st2["phis"]
+            del st2, dp1
+            ct_ph = None
+            for j in reversed(range(self.n_split)):
+                ct_carry, d_ph = self._get("ad_sub", sub_vjp_fn)(
+                    cks["carries"][k], tapes["sub"][k],
+                    jnp.asarray(j, jnp.int32), phis_p, ct_carry)
+                ct_ph = d_ph if ct_ph is None else ct_ph + d_ph
+            ct_st2 = dict(ct_st2, phis=ct_st2["phis"] + ct_ph)
+            ct_st = self._get("adpre", pre_vjp_fn)(
+                st, (ct_st2, ct_dp1, ct_carry))
+        return self._get("adprep", prep_vjp_fn)(prog, phis, (ct_st, ct_q))
 
     def _ad_split(self, prog, phis, pb, cks, tapes):
         """The reverse sweep as a host-side loop (the reference's POP-per-
