@@ -688,6 +688,14 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
     kcoef = _kcoef(cfg, npz, dtype)
     mix_hord = mode == "mixed" and cfg.split_hord
     mix_damp = mode == "mixed" and cfg.split_damp
+    # Pallas SIM1 on the trajectory path only (no jvp/vjp through
+    # pallas_call; the mixed/differentiated stages keep the jnp oracle)
+    import os as _os
+
+    import jax as _jax
+    use_pallas_sim1 = (mode == "traj" and not cfg.hydrostatic
+                       and _os.environ.get("FV3LM_PALLAS", "1") != "0"
+                       and _jax.devices()[0].platform == "tpu")
     # trajectory-side advection inside the linearization: pert-sponge
     # levels drop to hord_*_ks_traj when split (dyn_core_tlm.F90:862-868)
     hords_t = (_traj_sponge_hords(cfg, npz) if mix_hord else dict(
@@ -742,7 +750,8 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
             with scope("riem_c"):
                 pkc_c, gz_c, _ = riem_solver_c(dt2, akap, ptop, phis, wc,
                                                ptc, delpc, gz_m, ws3,
-                                               cfg.p_fac)
+                                               cfg.p_fac,
+                                               use_pallas=use_pallas_sim1)
             with scope("p_grad_c"):
                 uc, vc = p_grad_c(dt2, pkc_c, gz_c, uc, vc, grid, npx,
                                   delpc=delpc)
@@ -877,7 +886,8 @@ def make_acoustic_substep(grid, topo, cfg, dt_remap, akap, ptop, npz, dtype,
                                        npx)
             with scope("riem_3"):
                 sol = riem_solver3(dt, akap, ptop, zs_m, ws, None, pt,
-                                   delp, zh_m, w, cfg.p_fac, fp_out=False)
+                                   delp, zh_m, w, cfg.p_fac, fp_out=False,
+                                   use_pallas=use_pallas_sim1)
             w = sol["w"]
             delz = sol["delz"]
             zh2 = halo.fill_halo_center(sol["zh"], topo)

@@ -148,7 +148,20 @@ def sim1_solver(dt, dm2, pt2, pm2, pem, w2, dz2, ws, kappa, p_fac=0.05):
     return pe, w_new, dz_new
 
 
-def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
+def _sim1(dt, dmg, pt2, pm2, pem, w2, dz2, ws2, akap, p_fac, use_pallas):
+    """Dispatch: the Pallas TPU kernel on the non-differentiated
+    trajectory path, the jnp/lax.scan oracle elsewhere (pallas_call has no
+    automatic jvp/vjp; the mixed/TLM/ADM stages must stay jnp)."""
+    if use_pallas:
+        from ..ops.pallas_sim1 import sim1_solver_pallas
+
+        return sim1_solver_pallas(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
+                                  akap, p_fac)
+    return sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2, akap, p_fac)
+
+
+def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05,
+                  use_pallas=False):
     """Riem_Solver_c (nh_utils_nlm.F90:297-404): C-grid semi-implicit
     solve.  All fields padded (npz[, +1], 6, jy, jx); pt is the C-grid
     virtual potential temperature analogue used by the solver (the caller
@@ -176,8 +189,8 @@ def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
     pm2 = dm / jnp.maximum(jnp.log(pem[1:] / pem[:-1]), 1e-30)
     dmg = dm / GRAV
 
-    pe, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
-                                    akap, p_fac)
+    pe, w_new, dz_new = _sim1(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
+                              akap, p_fac, use_pallas)
 
     pef = pe + pem                     # full edge pressure; pe[0] = 0 -> ptop
     # Height*grav rebuilt from the new dz (bottom-up)
@@ -190,7 +203,7 @@ def riem_solver_c(dt, akap, ptop, hs, w3, pt, delp, gz, ws, p_fac=0.05):
 
 
 def riem_solver3(dt, akap, ptop, zs, ws, delz_unused, pt, delp, zh, w,
-                 p_fac=0.05, fp_out=True):
+                 p_fac=0.05, fp_out=True, use_pallas=False):
     """Riem_Solver3 (nh_core re-export of Riem_Solver3test,
     nh_utils_nlm.F90:406-573), a_imp > 0.999 (the SIM1 production
     branch), USE_COND off.
@@ -218,8 +231,8 @@ def riem_solver3(dt, akap, ptop, zs, ws, delz_unused, pt, delp, zh, w,
     dmg = dm_p / GRAV
     dz2 = jnp.minimum(zh2[1:] - zh2[:-1], -1e-2)
 
-    pe2, w_new, dz_new = sim1_solver(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
-                                     akap, p_fac)
+    pe2, w_new, dz_new = _sim1(dt, dmg, pt2, pm2, pem, w2, dz2, ws2,
+                               akap, p_fac, use_pallas)
 
     ppe = pe2 + pem if fp_out else pe2
     zh_new = jnp.concatenate(
