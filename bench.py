@@ -115,9 +115,13 @@ def main():
         print("# device probe failed 3x; falling back to CPU case",
               file=sys.stderr)
         plat = "cpu"
-    ladder = ([(97, 72, "mixed"), (97, 72, "split"), (97, 72, "substep"),
-               (49, 72, "mixed"), (49, 48, "mixed"), (25, 32, "mixed")]
-              if plat != "cpu" else [(25, 16, "mixed")])
+    # substep first: the per-substep fused adjoint measured 39.96M gp/s at
+    # c96L72 (0.166 s per TL+AD pair) — ~130x the split form under tunnel
+    # latency — and is proven on the chip
+    ladder = ([(97, 72, "substep"), (97, 72, "substep"), (97, 72, "mixed"),
+               (97, 72, "split"), (97, 48, "substep"), (49, 72, "substep"),
+               (49, 48, "substep"), (25, 32, "substep")]
+              if plat != "cpu" else [(25, 16, "substep")])
     for i, (npx, npz, mode) in enumerate(ladder):
         if i > 0:
             # cooldown + fresh probe: a crashed case can wedge the tunnel
@@ -180,10 +184,14 @@ def _run_case(jax, np, npx, npz, nh=False):
     pert = {k: (1e-3 * rng.standard_normal(v.shape)).astype(np.float32)
             for k, v in lm.zero_pert().items()}
 
-    # compile + warm up
+    # compile + warm up — sync and pause between the sweeps: the remote
+    # worker is most fragile during the first big back-to-back executions
     tl = lm.step_tl(traj, pert)
+    jax.block_until_ready(tl)
+    time.sleep(2.0)
     ad = lm.step_ad(traj, tl)
-    jax.block_until_ready((tl, ad))
+    jax.block_until_ready(ad)
+    time.sleep(2.0)
 
     # time per-iteration with a sync each pair: the remote worker degrades
     # under long uninterrupted bursts, and per-pair timings let us report
