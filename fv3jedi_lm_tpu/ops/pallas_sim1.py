@@ -31,8 +31,8 @@ LANES = 128
 def _sim1_kernel(dm_ref, pt_ref, pm_ref, pem_ref, w_ref, dz_ref, ws_ref,
                  pe_out, w_out, dz_out, pp_s, gam_s,
                  *, km, dt, kappa, p_fac):
-    from jax import lax
-
+    # km is static: the k recurrences are fully unrolled PYTHON loops so
+    # every row index is static (Mosaic cannot dynamic-slice array VALUES)
     gama = 1.0 / (1.0 - kappa)
     t1g = gama * 2.0 * dt * dt
     rdt = 1.0 / dt
@@ -57,39 +57,26 @@ def _sim1_kernel(dm_ref, pt_ref, pm_ref, pem_ref, w_ref, dz_ref, ws_ref,
     pp_s[0, :] = jnp.zeros_like(dm[0])
     bet = bb[0]
     pp_s[1, :] = dd[0] / bet
-
-    def fwd_pp(k, bet):
+    for k in range(2, km + 1):
         gam = g_rat[k - 2] / bet
         gam_s[k - 1, :] = gam
         bet = bb[k - 1] - gam
         pp_s[k, :] = (dd[k - 1] - pp_s[k - 1, :]) / bet
-        return bet
-
-    bet = lax.fori_loop(2, km + 1, fwd_pp, bet, unroll=True)
-
-    def bwd_pp(i, _):
-        k = km - i                 # k = km .. 2
+    for k in range(km, 1, -1):
         pp_s[k - 1, :] = pp_s[k - 1, :] - gam_s[k - 1, :] * pp_s[k, :]
-        return 0
-
-    lax.fori_loop(0, km - 1, bwd_pp, 0, unroll=True)
     pp = pp_s[:]
 
     # ---- w solver ----
     aa = t1g / (dz1[:-1] + dz1[1:]) * (pem_ref[1:km, :] + pp[1:km])  # (km-1,L)
     bet = dm[0] - aa[0]
     w_out[0, :] = (dm[0] * w1[0] + dt * pp[1]) / bet
-
-    def fwd_w(k, bet):             # k = 2 .. km-1
+    for k in range(2, km):
         gam = aa[k - 2] / bet
         gam_s[k - 1, :] = gam
         bet = dm[k - 1] - (aa[k - 2] + aa[k - 1] + aa[k - 2] * gam)
         w_out[k - 1, :] = (dm[k - 1] * w1[k - 1]
                            + dt * (pp[k] - pp[k - 1])
                            - aa[k - 2] * w_out[k - 2, :]) / bet
-        return bet
-
-    bet = lax.fori_loop(2, km, fwd_w, bet, unroll=True)
     p1 = t1g / dz1[km - 1] * (pem_ref[km, :] + pp[km])
     gam_km = aa[km - 2] / bet
     gam_s[km - 1, :] = gam_km
@@ -98,40 +85,25 @@ def _sim1_kernel(dm_ref, pt_ref, pm_ref, pem_ref, w_ref, dz_ref, ws_ref,
                         + dt * (pp[km] - pp[km - 1])
                         - p1 * ws_ref[0, :]
                         - aa[km - 2] * w_out[km - 2, :]) / bet
-
-    def bwd_w(i, _):
-        k = km - 1 - i             # k = km-1 .. 1
-        w_out[k - 1, :] = (w_out[k - 1, :]
-                           - gam_s[k, :] * w_out[k, :])
-        return 0
-
-    lax.fori_loop(0, km - 1, bwd_w, 0, unroll=True)
+    for k in range(km - 1, 0, -1):
+        w_out[k - 1, :] = w_out[k - 1, :] - gam_s[k, :] * w_out[k, :]
 
     # ---- pe update (cumulative) and dz back-substitution ----
     pe_out[0, :] = jnp.zeros_like(dm[0])
-
-    def cum_pe(k, _):
+    for k in range(km):
         pe_out[k + 1, :] = pe_out[k, :] + dm[k] * (
             w_out[k, :] - w1[k]) * rdt
-        return 0
-
-    lax.fori_loop(0, km, cum_pe, 0, unroll=True)
 
     p1v = (pe_out[km - 1, :] + 2.0 * pe_out[km, :]) * r3
     dz_out[km - 1, :] = -dm[km - 1] * RGAS * pt[km - 1] * jnp.exp(
         capa1 * jnp.log(jnp.maximum(p_fac * pm_ref[km - 1, :],
                                     p1v + pm_ref[km - 1, :])))
-
-    def bwd_dz(i, p1v):
-        k = km - 1 - i             # k = km-1 .. 1
+    for k in range(km - 1, 0, -1):
         p1v = (pe_out[k - 1, :] + bb[k - 1] * pe_out[k, :]
                + g_rat[k - 1] * pe_out[k + 1, :]) * r3 - g_rat[k - 1] * p1v
         dz_out[k - 1, :] = -dm[k - 1] * RGAS * pt[k - 1] * jnp.exp(
             capa1 * jnp.log(jnp.maximum(p_fac * pm_ref[k - 1, :],
                                         p1v + pm_ref[k - 1, :])))
-        return p1v
-
-    lax.fori_loop(0, km - 1, bwd_dz, p1v, unroll=True)
 
 
 def sim1_solver_pallas(dt, dm2, pt2, pm2, pem, w2, dz2, ws, kappa,
