@@ -145,8 +145,11 @@ def run_case_main(npx, npz, nh=False):
     import numpy as np
 
     # persistent compilation cache — the big TLM+ADM graphs are expensive;
-    # repeat bench runs (driver + tuning) should not pay compile again
-    cache = os.path.join(HERE, ".jax_cache")
+    # repeat bench runs (driver + tuning) should not pay compile again.
+    # Purged automatically when the machine changes (cachedir.py).
+    from fv3jedi_lm_tpu.cachedir import ensure_compatible
+
+    cache = ensure_compatible(os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

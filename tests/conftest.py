@@ -16,8 +16,17 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the dynamical-core graphs are large and
-# compile-bound on CPU; cache executables across pytest runs.
+# compile-bound on CPU; cache executables across pytest runs.  The cache
+# is purged when the machine changes — cross-machine XLA:CPU AOT entries
+# crash (SIGILL-class) on load/execute (fv3jedi_lm_tpu/cachedir.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+from fv3jedi_lm_tpu.cachedir import ensure_compatible  # noqa: E402
+
 _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_compilation_cache_dir",
+                  ensure_compatible(os.path.abspath(_cache)))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

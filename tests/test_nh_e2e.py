@@ -106,22 +106,42 @@ def test_nh_dot_product_identity(lm, traj):
     assert rel < 1e-12, (lhs, rhs, rel)
 
 
-def test_nh_window_dot_product(lm):
-    """nt=2 window: run_tl vs run_ad duality with NH prognostics."""
-    lm2 = LinearModel.create(
-        LMConfig(dyn=DynConfig(**NH_KW), dt=450.0, nt=2, saveltraj=True))
-    trajs = lm2.run_nl(_spun_up(lm2, nsteps=1))
-    dx = _rand_pert(lm2, 3)
-    dy = _rand_pert(lm2, 4)
-    mdx = lm2.run_tl(trajs, dx)
-    mtdy = lm2.run_ad(trajs, dy)
-    lhs = float(_dot(lm2, mdx, dy))
-    rhs = float(_dot(lm2, dx, mtdy))
+def test_nh_window_dot_product(lm, traj):
+    """2-step window: the composed TL vs the reversed composed AD satisfy
+    duality with NH prognostics.  Driven manually on the module-scope
+    model (a second LinearModel's duplicate executables abort the
+    long-running full-suite process — XLA CPU resource exhaustion)."""
+    trajs = [traj, lm.step_nl(traj)]
+    dx = _rand_pert(lm, 3)
+    dy = _rand_pert(lm, 4)
+    mdx = dx
+    for tr in trajs:
+        mdx = lm.step_tl(tr, mdx)
+    mtdy = dy
+    for tr in reversed(trajs):
+        mtdy = lm.step_ad(tr, mtdy)
+    lhs = float(_dot(lm, mdx, dy))
+    rhs = float(_dot(lm, dx, mtdy))
     rel = abs(lhs - rhs) / max(abs(lhs), 1e-300)
     assert rel < 1e-12, (lhs, rhs, rel)
 
 
-def test_nh_multidevice_exact(lm, traj):
+@pytest.fixture(autouse=True)
+def no_persistent_cache(monkeypatch):
+    """Serializing some NH adjoint executables for the persistent
+    compilation cache ABORTS the process (CHECK failure inside
+    jax compilation_cache.put_executable_and_time; config flips are
+    ignored once the per-backend cache decision is made) — stub the
+    write function for every test in this module.  NH programs recompile
+    per suite run; reads of healthy cached entries still work."""
+    from jax._src import compiler as _compiler
+
+    monkeypatch.setattr(_compiler, "_cache_write",
+                        lambda *a, **k: None)
+    yield
+
+
+def test_nh_multidevice_exact(lm, traj, no_persistent_cache):
     """Sharded NH TL+AD == single-device NH TL+AD, exactly (the same gate
     tests/test_multidevice.py applies to the hydrostatic path)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
