@@ -28,10 +28,12 @@ and downdraft carries — and runs as a frozen-branch scan over levels.
 Mode note: do_moist_physics==2 gates the pdffrac perturbation model per
 (level, column) by the 8x8 ls_cloud Jacobian filter (cloud_tl.F90:
 406-481): 8 unit-tangent jvp probes build the Jacobian, the value
-thresholds are applied exactly, and the LAPACK max|eigenvalue| test is
-bounded by the largest singular value (power iteration on J^T J) — an
-upper bound on the spectral radius, so the approximation only ever errs
-toward the safer perturbation model.  Mode 1 (the 4D-Var production
+thresholds are applied exactly, and the LAPACK eigenvalue test is
+evaluated with a Gelfand spectral-radius estimate (matrix squaring,
+`spectral_radius`) — within a few percent of max|eigenvalue|, and an
+upper bound on the reference's max|Re(eig)| criterion, so any residual
+error errs toward the safer perturbation model (quantified in
+tests/test_cloud_gate.py).  Mode 1 (the 4D-Var production
 configuration) uses the perturbation model unconditionally, exactly as
 the reference.
 """
@@ -317,15 +319,17 @@ def ls_cloud(dt, alpha, ph, te, qv, qcl, qal, qci, qai, cf, af, pars,
 
     cfo = cfn
     qco = qcn
-    teo = ten
 
-    # update grid means (cloud.F90:1266-1287)
+    # update grid means (cloud.F90:1266-1287).  NOTE: the iteration's
+    # temperature TEn is DISCARDED by the reference — the prognostic TE
+    # is only ever advanced by the latent-heating deltas below
+    # (cloud.F90:1330, cloud_tl.F90:1441; TEo=TEn is dead code there) —
+    # caught by tests/test_lscloud_oracle.py.
     cf = jnp.where(under, cfo * (1.0 - af), 0.0)
     qco_g = jnp.where(under, qco * (1.0 - af), 0.0)
     qao_g = jnp.where(under, qao * af, 0.0)
     qt_fill = qa + qc + qv
     qao_g = jnp.where(under, qao_g, fmax(qt_fill - qsx, 0.0))
-    te = jnp.where(under, teo, te)
     qv_eff = qv  # qv updated below via deltas
 
     # partition new condensate (cloud.F90:1292-1323)
@@ -677,6 +681,79 @@ def precipandevap(is_top, is_low, dt, frland, rhcr3, qpl, qpi, qcl, qci,
     return qcl, qci, te, qv, pfl, pfi, evap_dd, subl_dd
 
 
+def balance(jac, sweeps=4):
+    """Osborne balancing (what DGEEV's xGEBAL does first): a diagonal
+    similarity D^-1 J D equalizing off-diagonal row/column 1-norms.
+    Eigenvalues are unchanged; the non-normality that makes norm-based
+    spectral estimates overshoot is largely removed (the ls_cloud
+    Jacobian mixes T [K] and q [kg/kg] rows, so raw off-diagonals span
+    ~8 decades).  jac: (n, n, ...) batch; static unrolled sweeps."""
+    n = jac.shape[0]
+    b = jac
+    offr = [np.where(np.arange(n) != i)[0] for i in range(n)]  # static idx
+    for _ in range(sweeps):
+        for i in range(n):
+            r = jnp.sum(jnp.abs(b[i, offr[i]]), axis=0)
+            c = jnp.sum(jnp.abs(b[offr[i], i]), axis=0)
+            ok = fbool((r > 0.0) & (c > 0.0))
+            s = jnp.sqrt(jnp.where(ok, c / jnp.where(ok, r, 1.0), 1.0))
+            s = jnp.clip(s, 1.0e-6, 1.0e6)
+            b = b.at[i, :].multiply(s[None])
+            b = b.at[:, i].multiply(1.0 / s[None])
+            b = b.at[i, i].set(jac[i, i])  # diagonal invariant, exactly
+    return b
+
+
+def spectral_radius(jac, squarings=7, power_iters=20, prebalance=True):
+    """Tight upper bound on the spectral radius of a batch of small
+    matrices, jittable on TPU (no DGEEV).
+
+    Gelfand: rho(J) = lim_m ||J^(2^m)||_2^(1/2^m).  Osborne balancing,
+    then `squarings` Frobenius-normalized matrix squarings (J^128 by
+    default, scale tracked in log space so f32 never over/underflows)
+    followed by a power iteration for sigma_max give
+
+        rho <= est <= rho * (kappa_defect)^(1/2^m)
+
+    i.e. within ~1-5% of max|eigenvalue| (quantified against numpy
+    DGEEV in tests/test_cloud_gate.py).  Used by the do_moist_physics
+    ==2 gate, which the reference implements with LAPACK DGEEV per
+    column (cloud_tl.F90:455-472); its criterion is maxval(abs(WR)) —
+    the largest |real part| — and rho >= max|Re(eig)|, so any residual
+    overestimate errs toward the SAFER perturbation model.  Known
+    deviation, quantified in tests/test_cloud_gate.py: the ls_cloud
+    Jacobian at near-neutral columns is a non-normal near-defective
+    cluster at eig=1 where Gelfand overshoots by up to tens of percent,
+    so columns with rho just BELOW 1.001 can be filtered that DGEEV
+    would pass — extra filtering on possibly-neutral columns only;
+    decisions agree with DGEEV wherever rho is clearly away from 1, and
+    no DGEEV-filtered column is ever missed.
+
+    jac: (n, n, ...) batch of n x n Jacobians (leading two axes are the
+    matrix).  Returns the (...)-shaped estimate.
+    """
+    n = jac.shape[0]
+    if prebalance:
+        jac = balance(jac)
+    tiny = jnp.asarray(jnp.finfo(jac.dtype).tiny, jac.dtype)
+    fro = jnp.sqrt(jnp.sum(jac * jac, axis=(0, 1)) + tiny)
+    b = jac / fro
+    logr = jnp.log(fro)
+    for _ in range(squarings):
+        b = jnp.einsum("ab...,bc...->ac...", b, b)
+        f = jnp.sqrt(jnp.sum(b * b, axis=(0, 1)) + tiny)
+        logr = 2.0 * logr + jnp.log(f)
+        b = b / f
+    m = jnp.einsum("ka...,kb...->ab...", b, b)
+    v = jnp.ones((n,) + m.shape[2:], m.dtype)
+    for _ in range(power_iters):
+        mv = jnp.einsum("ab...,b...->a...", m, v)
+        v = mv / jnp.sqrt(jnp.sum(mv * mv, axis=0, keepdims=True) + tiny)
+    sigma2 = jnp.sum(v * jnp.einsum("ab...,b...->a...", m, v), axis=0)
+    logs = logr + 0.5 * jnp.log(jnp.maximum(sigma2, tiny))
+    return jnp.exp(logs / float(2 ** squarings))
+
+
 def cloud_driver(dt, th, q, ple, cnv_dqldt, cnv_mfd, cnv_prc3, cnv_updf,
                  qi_ls, ql_ls, qi_con, ql_con, cf_ls, cf_con,
                  frland, khu, khl, pars, estblx, do_phy_mst, pert_mode=True):
@@ -729,11 +806,11 @@ def cloud_driver(dt, th, q, ple, cnv_dqldt, cnv_mfd, cnv_prc3, cnv_updf,
         # do_moist_physics==2: gate the pdffrac perturbation model per
         # (level, column) by the ls_cloud Jacobian (cloud_tl.F90:406-481).
         # 8 unit-tangent jvp probes give the 8x8 Jacobian; the reference's
-        # LAPACK max|eigenvalue| test is bounded here by the largest
-        # singular value via power iteration on J^T J (sigma_max >=
-        # rho(J), so the approximation only ever errs toward the SAFER
-        # perturbation model).  All probe inputs are stop_gradient'ed and
-        # the gate is a frozen decision.
+        # LAPACK DGEEV eigenvalue test is evaluated here with the
+        # TPU-jittable Gelfand spectral-radius estimate (see
+        # `spectral_radius`: rho >= max|Re(eig)|, so residual error only
+        # ever errs toward the SAFER perturbation model).  All probe
+        # inputs are stop_gradient'ed and the gate is a frozen decision.
         import jax
 
         sg = lax.stop_gradient
@@ -759,16 +836,9 @@ def cloud_driver(dt, th, q, ple, cnv_dqldt, cnv_mfd, cnv_prc3, cnv_updf,
             cols.append(jnp.stack(jv, 0))
         jac = jnp.stack(cols, 1)               # (row, col, npz, B)
 
-        m = jnp.einsum("ka...,kb...->ab...", jac, jac)
-        v = jnp.ones((8,) + m.shape[2:], m.dtype)
-        for _ in range(20):
-            mv = jnp.einsum("ab...,b...->a...", m, v)
-            v = mv / jnp.sqrt(jnp.sum(mv * mv, axis=0, keepdims=True)
-                              + 1.0e-300)
-        sigma2 = jnp.sum(v * jnp.einsum("ab...,b...->a...", m, v), axis=0)
-        sigma = jnp.sqrt(jnp.maximum(sigma2, 0.0))
+        rho = spectral_radius(jac)
 
-        bad = ((sigma > 1.001)
+        bad = ((rho > 1.001)
                | (jac[0, 0] < 0.6)
                | (jac[1, 0] > 0.75e-4)
                | (jac[4, 0] < -0.75e-4)
