@@ -119,8 +119,8 @@ def main():
     # c96L72 (0.166 s per TL+AD pair) — ~130x the split form under tunnel
     # latency — and is proven on the chip
     ladder = ([(97, 72, "substep"), (97, 72, "substep"), (97, 72, "mixed"),
-               (97, 72, "split"), (97, 48, "substep"), (49, 72, "substep"),
-               (49, 48, "substep"), (25, 32, "substep")]
+               (97, 72, "split"), (97, 72, "substep"), (97, 48, "substep"),
+               (49, 72, "substep"), (49, 48, "substep"), (25, 32, "substep")]
               if plat != "cpu" else [(25, 16, "substep")])
     for i, (npx, npz, mode) in enumerate(ladder):
         if i > 0:
